@@ -1,0 +1,207 @@
+"""Typed configuration tree for the msc_tpu framework.
+
+The reference scatters configuration across `.env` keys, two dataclasses
+(`src/pipeline.py:12-28`) and hardcoded module constants
+(`src/mock_test.py:16`, `src/evaluation_framework.py:714-717`).  Here the
+whole framework is configured through one typed tree with environment
+overrides (``from_env``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, asdict
+from typing import List, Optional
+
+
+@dataclass
+class ModalityConfig:
+    """Modality dropout configuration (reference `src/pipeline.py:22-28`).
+
+    ``camera_indices`` selects a subset of the 6 canonical camera channels
+    (0-5, order defined in `msc_tpu.data.nuscenes.CAMERA_CHANNELS`).
+    """
+
+    use_cameras: bool = True
+    use_lidar: bool = True
+    use_annotations: bool = True
+    camera_indices: Optional[List[int]] = None
+
+
+@dataclass
+class BackendConfig:
+    """Inference backend selection.
+
+    The reference funnels every model call through a single seam,
+    ``BaseAgent.call_llm`` (`src/agents/base_agent.py:14`).  msc_tpu keeps
+    that seam but offers three backends:
+
+    - ``"vlm"``      : the on-TPU JAX VLM (ViT prefill + autoregressive
+                       decode with constrained JSON decoding).
+    - ``"analytic"`` : a deterministic, LLM-free backend that derives every
+                       agent response from the perception features actually
+                       computed by the kernels.  Hermetic and fast; the
+                       default for evaluation without trained weights.
+    - ``"fake"``     : a canned-response test double (reference's missing
+                       "recorded LLM" seam, SURVEY.md section 4).
+    """
+
+    kind: str = "analytic"  # "vlm" | "analytic" | "fake"
+    # VLM decode settings
+    max_new_tokens: int = 256
+    temperature: float = 0.0
+    # Structured decoding: force outputs to match the requested JSON schema.
+    constrained_json: bool = True
+
+
+@dataclass
+class VLMConfig:
+    """Architecture of the on-TPU VLM (greenfield; no reference counterpart —
+    the reference's "model" is Azure gpt-4o over HTTPS)."""
+
+    # Vision encoder (SigLIP-style ViT)
+    image_size: int = 224
+    patch_size: int = 14
+    vit_width: int = 512
+    vit_depth: int = 6
+    vit_heads: int = 8
+    vit_mlp_ratio: float = 4.0
+    # Decoder (Gemma-style: RMSNorm, RoPE, GQA, SwiGLU/GeGLU)
+    vocab_size: int = 512  # byte-level tokenizer + specials, padded to 512
+    d_model: int = 512
+    n_layers: int = 6
+    n_heads: int = 8
+    n_kv_heads: int = 2
+    head_dim: int = 64
+    mlp_hidden: int = 1536
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    dtype: str = "bfloat16"
+    # KV cache paging
+    page_size: int = 128
+
+    @property
+    def tokens_per_image(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh / sharding configuration.
+
+    Axes: ``data`` (scenes/samples), ``model`` (tensor parallel over
+    attention heads + MLP).  The reference has zero parallelism
+    (SURVEY.md section 2.3); this is new design.
+    """
+
+    data: int = 1
+    model: int = 1
+    axis_names: tuple = ("data", "model")
+
+
+@dataclass
+class ModelConfig:
+    """Top-level model selection (parity with reference
+    `src/pipeline.py:12-20`, minus the Azure credentials which have no
+    meaning on-TPU)."""
+
+    small_model: str = "msc-vlm-s"
+    large_model: str = "msc-vlm-s"
+    vision_model: str = "msc-vlm-s"
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    vlm: VLMConfig = field(default_factory=VLMConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 0
+
+
+@dataclass
+class LiDARConfig:
+    """Numeric constants of the LiDAR path (reference
+    `src/agents/content_transform/lidar_agent.py:44-49,103-132`)."""
+
+    min_range: float = 1.0
+    max_range: float = 50.0
+    min_z: float = -3.0
+    max_z: float = 5.0
+    ground_z: float = -1.4
+    dbscan_eps: float = 0.5
+    dbscan_min_samples: int = 10
+    min_cluster_points: int = 5
+    bev_resolution: int = 800
+    bev_range: float = 50.0
+    max_points: int = 40960     # static shape cap for TPU kernels
+    max_clusters: int = 128     # static cap on detected clusters
+    cluster_img_size: int = 256
+
+
+@dataclass
+class EvalConfig:
+    """Evaluation sweep configuration (reference
+    `src/evaluation_framework.py:704-771`)."""
+
+    test_mode: bool = True
+    num_test_scenes: int = 20
+    output_dir: str = "evaluation_results"
+    mqa_csv_path: str = "data/nuscenes-mqa/df_train_mqa.csv"
+    incremental_save: bool = True   # checkpoint gap fix (SURVEY.md section 5)
+    resume: bool = True             # resume by (sample_token, config) key
+
+
+@dataclass
+class DataConfig:
+    dataroot: Optional[str] = None
+    version: str = "v1.0-mini"
+    use_mock: bool = False
+    # The reference computes ego distance/direction on *global-frame*
+    # translations (`src/nuscenes_loader.py:183` used as-is by
+    # `src/agents/content_transform/scenegraph_agent.py:186-201`), which is
+    # geometrically wrong but load-bearing for behavior parity.  Set
+    # ``ego_frame=True`` for the corrected transform.
+    ego_frame: bool = False
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    lidar: LiDARConfig = field(default_factory=LiDARConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    modality: ModalityConfig = field(default_factory=ModalityConfig)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_env(cls) -> "Config":
+        """Build a config with environment-variable overrides.
+
+        Recognized variables mirror the reference's `.env` contract
+        (README.md:74-82) plus msc_tpu extensions::
+
+            NUSCENES_DATAROOT, NUSCENES_VERSION, MSC_USE_MOCK,
+            MSC_BACKEND (vlm|analytic|fake), MSC_MESH_DATA, MSC_MESH_MODEL,
+            MSC_TEST_MODE, MSC_NUM_TEST_SCENES, MSC_OUTPUT_DIR, MSC_MQA_CSV
+        """
+        cfg = cls()
+        env = os.environ
+        if env.get("NUSCENES_DATAROOT"):
+            cfg.data.dataroot = env["NUSCENES_DATAROOT"]
+        if env.get("NUSCENES_VERSION"):
+            cfg.data.version = env["NUSCENES_VERSION"]
+        if env.get("MSC_USE_MOCK"):
+            cfg.data.use_mock = env["MSC_USE_MOCK"].lower() in ("1", "true", "yes")
+        if env.get("MSC_BACKEND"):
+            cfg.model.backend.kind = env["MSC_BACKEND"]
+        if env.get("MSC_MESH_DATA"):
+            cfg.model.mesh.data = int(env["MSC_MESH_DATA"])
+        if env.get("MSC_MESH_MODEL"):
+            cfg.model.mesh.model = int(env["MSC_MESH_MODEL"])
+        if env.get("MSC_TEST_MODE"):
+            cfg.eval.test_mode = env["MSC_TEST_MODE"].lower() in ("1", "true", "yes")
+        if env.get("MSC_NUM_TEST_SCENES"):
+            cfg.eval.num_test_scenes = int(env["MSC_NUM_TEST_SCENES"])
+        if env.get("MSC_OUTPUT_DIR"):
+            cfg.eval.output_dir = env["MSC_OUTPUT_DIR"]
+        if env.get("MSC_MQA_CSV"):
+            cfg.eval.mqa_csv_path = env["MSC_MQA_CSV"]
+        return cfg

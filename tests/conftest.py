@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Multi-chip logic is exercised on a virtual 8-device CPU mesh
+(`XLA_FLAGS=--xla_force_host_platform_device_count=8`), per SURVEY.md
+section 4.  These env vars must be set before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mock_loader():
+    from msc_tpu.data.nuscenes import MockNuScenesLoader
+
+    return MockNuScenesLoader()
+
+
+@pytest.fixture(scope="session")
+def mock_sample(mock_loader):
+    return mock_loader.get_sample_by_scene_index(0, 0)

@@ -1,0 +1,136 @@
+"""Data-layer tests: sample contract, determinism, native IO, host DBSCAN."""
+
+import numpy as np
+import pytest
+
+from msc_tpu.data.nuscenes import (
+    CAMERA_CHANNELS,
+    MockNuScenesLoader,
+    create_loader,
+)
+from msc_tpu.data import lidar_io, mqa
+
+
+def test_camera_channel_order():
+    # Exact parity with reference src/nuscenes_loader.py:34-41
+    assert CAMERA_CHANNELS == [
+        "CAM_FRONT",
+        "CAM_FRONT_RIGHT",
+        "CAM_FRONT_LEFT",
+        "CAM_BACK",
+        "CAM_BACK_LEFT",
+        "CAM_BACK_RIGHT",
+    ]
+
+
+def test_sample_contract(mock_sample):
+    s = mock_sample
+    for key in ("sample_token", "timestamp", "scene_description", "scene_name",
+                "images", "camera_names", "point_cloud", "annotations", "metadata"):
+        assert key in s, key
+    assert len(s["images"]) == 6
+    assert all(img.shape == (900, 1600, 3) and img.dtype == np.uint8
+               for img in s["images"])
+    assert s["camera_names"] == CAMERA_CHANNELS
+    pc = s["point_cloud"]
+    assert pc.ndim == 2 and pc.shape[1] == 4 and pc.dtype == np.float32
+    assert s["metadata"]["nbr_objects"] == len(s["annotations"])
+    for ann in s["annotations"]:
+        for key in ("token", "category_name", "translation", "size", "rotation",
+                    "velocity", "attribute_tokens", "visibility_token",
+                    "num_lidar_pts", "num_radar_pts"):
+            assert key in ann, key
+        assert len(ann["translation"]) == 3
+        assert len(ann["size"]) == 3
+        assert len(ann["rotation"]) == 4
+
+
+def test_mock_determinism():
+    a = MockNuScenesLoader().load_sample("mock_sample_000_000")
+    b = MockNuScenesLoader().load_sample("mock_sample_000_000")
+    np.testing.assert_array_equal(a["point_cloud"], b["point_cloud"])
+    np.testing.assert_array_equal(a["images"][0], b["images"][0])
+    assert a["annotations"] == b["annotations"]
+    c = MockNuScenesLoader().load_sample("mock_sample_000_001")
+    assert not np.array_equal(a["point_cloud"][:100], c["point_cloud"][:100])
+
+
+def test_structured_cloud_has_ground_and_objects(mock_sample):
+    pc = mock_sample["point_cloud"]
+    ground = pc[pc[:, 2] < -1.4]
+    objects = pc[pc[:, 2] >= -1.4]
+    assert len(ground) > 1000
+    assert len(objects) > 100
+
+
+def test_factory_falls_back_to_mock():
+    loader = create_loader(dataroot=None)
+    assert isinstance(loader, MockNuScenesLoader)
+
+
+def test_scene_walk(mock_loader):
+    scenes = mock_loader.get_scene_list()
+    assert len(scenes) >= 1
+    samples = mock_loader.load_scene_samples(scenes[0]["token"], max_samples=3)
+    assert len(samples) == 3
+    tokens = {s["sample_token"] for s in samples}
+    assert len(tokens) == 3
+
+
+def test_native_lidar_reader(tmp_path):
+    # Round-trip a synthetic .bin through the native/mmap reader.
+    pts5 = np.random.default_rng(0).normal(size=(1234, 5)).astype(np.float32)
+    path = tmp_path / "sweep.bin"
+    pts5.tofile(path)
+    out = lidar_io.read_lidar_bin(str(path))
+    assert out.shape == (1234, 4)
+    np.testing.assert_allclose(out, pts5[:, :4], rtol=0, atol=0)
+
+
+def test_host_dbscan_matches_expectations():
+    rng = np.random.default_rng(1)
+    # Two well-separated blobs + scattered noise.
+    blob1 = rng.normal([0, 0, 0], 0.1, size=(50, 3))
+    blob2 = rng.normal([10, 0, 0], 0.1, size=(60, 3))
+    noise = rng.uniform(-50, 50, size=(20, 3))
+    pts = np.vstack([blob1, blob2, noise]).astype(np.float32)
+    labels, k = lidar_io.dbscan_host(pts, eps=0.5, min_samples=10)
+    assert k == 2
+    # blob members share a single label each
+    assert len(set(labels[:50].tolist())) == 1
+    assert len(set(labels[50:110].tolist())) == 1
+    assert labels[0] != labels[50]
+    # most of the uniform noise is labeled -1
+    assert (labels[110:] == -1).sum() >= 15
+
+
+def test_host_dbscan_fallback_agrees_with_native():
+    rng = np.random.default_rng(2)
+    pts = np.vstack([
+        rng.normal([0, 0, 0], 0.15, size=(40, 3)),
+        rng.normal([5, 5, 0], 0.15, size=(40, 3)),
+    ]).astype(np.float32)
+    l_native, k_native = lidar_io.dbscan_host(pts, eps=0.5, min_samples=5)
+    l_np, k_np = lidar_io._dbscan_numpy(pts, eps=0.5, min_samples=5)
+    assert k_native == k_np == 2
+    # same partition up to label permutation
+    for lab in (l_native, l_np):
+        assert len(set(lab[:40].tolist())) == 1
+        assert len(set(lab[40:].tolist())) == 1
+
+
+def test_mock_mqa_generation(mock_loader):
+    df = mqa.generate_mock_mqa(mock_loader, num_scenes=1, samples_per_scene=1)
+    assert {"sample_token", "question", "answer", "question_type"} <= set(df.columns)
+    assert len(df) > 3
+    # Answers must carry well-formed target tags.
+    assert df["answer"].str.contains("<target><cnt>").all()
+
+
+def test_mqa_cam_sextants():
+    assert mqa._cam_of([10.0, 0.0, 0.0]) == "front"
+    assert mqa._cam_of([-10.0, 0.0, 0.0]) == "back"
+    assert mqa._cam_of([5.0, 5.0, 0.0]) == "front left"
+    assert mqa._cam_of([5.0, -5.0, 0.0]) == "front right"
+    assert mqa._cam_of([-5.0, 5.0, 0.0]) == "back left"
+    assert mqa._cam_of([-5.0, -5.0, 0.0]) == "back right"
