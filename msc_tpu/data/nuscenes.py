@@ -346,9 +346,18 @@ class MockNuScenesLoader:
             w, l, h = ann["size"]
             cx, cy, cz = ann["translation"]
             dist = max(1.0, float(np.hypot(cx, cy)))
-            n = max(16, int(pts_by_cat.get(cat, 200) * min(1.0, 8.0 / dist)))
-            pts = rng.uniform(-0.5, 0.5, size=(n, 3)) * np.array([l, w, h])
-            pts += np.array([cx, cy, cz])
+            n = max(60, int(pts_by_cat.get(cat, 200) * min(1.0, 12.0 / dist)))
+            # LiDAR-like: sample on the ego-facing box surfaces (two
+            # vertical faces + roof) instead of uniformly in the volume,
+            # so clusters are dense and connected at eps = 0.5 m.
+            face = rng.integers(0, 3, size=n)
+            u = rng.uniform(-0.5, 0.5, size=n)
+            v = rng.uniform(-0.5, 0.5, size=n)
+            pts = np.empty((n, 3), np.float32)
+            pts[:, 0] = np.where(face == 0, -0.5, u) * l
+            pts[:, 1] = np.where(face == 1, -0.5, np.where(face == 0, u, v)) * w
+            pts[:, 2] = np.where(face == 2, 0.5, v) * h
+            pts += np.array([cx, cy, cz], np.float32)
             intensity = rng.uniform(0.1, 0.9, size=(n, 1))
             clusters.append(np.hstack([pts, intensity]).astype(np.float32))
             budgets.append(n)

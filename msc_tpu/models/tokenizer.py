@@ -1,0 +1,78 @@
+"""Byte-level tokenizer for the on-TPU VLM.
+
+Vocabulary = 256 raw bytes + special tokens, padded to a fixed power-of-two
+vocab (config.VLMConfig.vocab_size).  A byte-level vocab keeps the
+JSON-schema constrained decoder exact: the schema DFA is built over bytes,
+and tokens ARE bytes, so no token/character alignment problems exist
+(SURVEY.md hard part #1).  No downloaded vocabularies — the framework is
+hermetic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List
+
+import numpy as np
+
+PAD_ID = 256
+BOS_ID = 257
+EOS_ID = 258
+IMG_ID = 259      # placeholder id marking image-token positions
+SYSTEM_ID = 260   # role separators for the chat template
+USER_ID = 261
+ASSISTANT_ID = 262
+
+N_SPECIAL = 7
+BASE_VOCAB = 256 + N_SPECIAL
+
+
+class ByteTokenizer:
+    """UTF-8 byte tokenizer with chat-template helpers."""
+
+    def __init__(self, vocab_size: int = 512):
+        assert vocab_size >= BASE_VOCAB
+        self.vocab_size = vocab_size
+        self.pad_id = PAD_ID
+        self.bos_id = BOS_ID
+        self.eos_id = EOS_ID
+        self.img_id = IMG_ID
+
+    def encode(self, text: str) -> List[int]:
+        return list(text.encode("utf-8"))
+
+    def decode(self, ids: Iterable[int]) -> str:
+        data = bytes(i for i in ids if 0 <= i < 256)
+        return data.decode("utf-8", errors="replace")
+
+    def apply_chat_template(self, messages: List[dict],
+                            num_image_tokens: int = 0) -> List[int]:
+        """Render an OpenAI-style message list into token ids.
+
+        Image parts become runs of IMG_ID placeholders that the VLM
+        replaces with projected ViT embeddings at prefill.
+        """
+        ids: List[int] = [BOS_ID]
+        role_tok = {"system": SYSTEM_ID, "user": USER_ID, "assistant": ASSISTANT_ID}
+        for msg in messages:
+            ids.append(role_tok.get(msg.get("role", "user"), USER_ID))
+            content = msg.get("content", "")
+            if isinstance(content, str):
+                ids.extend(self.encode(content))
+            else:  # list of parts: {"type": "text"|"image"|"image_url", ...}
+                for part in content:
+                    ptype = part.get("type")
+                    if ptype == "text":
+                        ids.extend(self.encode(part.get("text", "")))
+                    elif ptype in ("image", "image_url"):
+                        ids.extend([IMG_ID] * num_image_tokens)
+        ids.append(ASSISTANT_ID)
+        return ids
+
+    def pad_batch(self, seqs: List[List[int]], pad_to: int | None = None) -> np.ndarray:
+        max_len = max(len(s) for s in seqs)
+        if pad_to is not None:
+            max_len = max(max_len, pad_to)
+        out = np.full((len(seqs), max_len), PAD_ID, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            out[i, : len(s)] = s
+        return out
