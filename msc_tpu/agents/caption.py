@@ -1,0 +1,109 @@
+"""CaptionGenerator: structured caption + MQA answering (Layer 4).
+
+Behavior parity with `src/agents/structure_caption/caption_agent.py:47-167`:
+- ``generate_structured_caption`` produces the canonical StructuredCaption
+  JSON (byte-compatible schema, BASELINE.json north star), injects
+  ``full_caption`` = the refined prose, and returns the hand-built
+  "unknown" fallback dict with a ``parse_error`` flag on failure;
+- ``answer_mqa_question`` answers with the nuScenes-MQA XML tag contract
+  at temperature 0.2.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict
+
+from msc_tpu.agents.base import BaseAgent
+from msc_tpu.agents.schemas import StructuredCaption
+
+_CAPTION_SYSTEM = """You are a caption generation expert for autonomous driving scenes.
+
+Generate a comprehensive structured caption based on the refined features provided.
+
+Guidelines:
+- scene_summary: Provide a concise 1-2 sentence overview
+- ego_vehicle: Describe the ego vehicle's current action, lane position, and estimated speed
+- objects: List ALL detected objects with their categories, positions, states, attributes, and visibility
+- road_structure: Describe the road type, number of lanes, and visible markings
+- environment: Specify lighting, weather, and location type
+- safety_critical: List any safety-relevant observations (close objects, hazards, etc.)
+
+Be precise, comprehensive, and factual based on the features provided."""
+
+_MQA_SYSTEM = """You are an expert at answering questions about driving scenes.
+
+Answer using the structured caption and features available.
+
+Follow the nuScenes-MQA format strictly:
+- Use XML tags:
+  - <target>: Encapsulates <cnt> and <obj>
+  - <obj>: Object name (single word or short phrase)
+  - <cnt>: Count (number)
+  - <ans>: Binary response (yes/no)
+  - <cam>: Camera name (front, back, front left, etc.)
+  - <dst>: Distance description
+  - <loc>: Location coordinates (x, y)
+
+Examples:
+Q: "How many <obj>cars</obj> are in <cam>front</cam>?"
+A: "There are <target><cnt>2</cnt> <obj>cars</obj></target>."
+
+Q: "Is there a <obj>pedestrian</obj> in <cam>front left</cam>?"
+A: "<ans>yes</ans>, there is <target><cnt>1</cnt> <obj>pedestrian</obj></target>."
+
+Be precise with counts and use the exact XML format."""
+
+
+class CaptionGenerator(BaseAgent):
+    """Generates final structured captions and answers MQA questions."""
+
+    def generate_structured_caption(self, refined_caption: str) -> Dict[str, Any]:
+        user = (f"Generate a structured caption from this refined caption:\n\n"
+                f"{refined_caption}\n\nCreate a complete, accurate caption "
+                "covering all aspects of the scene.")
+        messages = [{"role": "system", "content": _CAPTION_SYSTEM},
+                    {"role": "user", "content": user}]
+        try:
+            response = self.call_llm(messages, temperature=0.3,
+                                     response_format=StructuredCaption,
+                                     task="structure_caption")
+            caption_dict = response.model_dump()
+            caption_dict["full_caption"] = refined_caption
+            return {"agent": self.agent_name,
+                    "structured_caption": caption_dict}
+        except Exception as e:
+            # minimal fallback caption (parity caption_agent.py:94-122)
+            print(f"  [CaptionGenerator] error: {e}")
+            return {
+                "agent": self.agent_name,
+                "structured_caption": {
+                    "scene_summary": "Error generating caption",
+                    "full_caption": "Error generating caption",
+                    "ego_vehicle": {"action": "unknown",
+                                    "lane_position": "unknown",
+                                    "speed_estimate": "unknown"},
+                    "objects": [],
+                    "road_structure": {"type": "unknown", "lanes": "unknown",
+                                       "markings": []},
+                    "environment": {"lighting": "unknown",
+                                    "weather": "unknown",
+                                    "location_type": "unknown"},
+                    "safety_critical": ["Caption generation failed"],
+                },
+                "parse_error": True,
+                "error_message": str(e),
+            }
+
+    def answer_mqa_question(self, question: str,
+                            structured_caption: Dict) -> str:
+        user = (f"Question: {question}\n\nScene Information:\n"
+                f"{json.dumps(structured_caption, indent=2)}\n\n"
+                "Provide a precise answer using the correct XML format.")
+        messages = [{"role": "system", "content": _MQA_SYSTEM},
+                    {"role": "user", "content": user}]
+        try:
+            return self.call_llm(messages, temperature=0.2, task="mqa_answer")
+        except Exception as e:
+            print(f"  [CaptionGenerator] MQA error: {e}")
+            return "Error: Unable to answer question"

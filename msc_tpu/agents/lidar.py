@@ -1,0 +1,421 @@
+"""LiDARAgent: point-cloud perception (Layer 1) — the numeric heavyweight.
+
+Behavior parity with `src/agents/content_transform/lidar_agent.py:30-861`
+(7-step pipeline: filter -> ground split -> clustering -> cluster
+classification via vision -> multi-layer BEV -> semantic features ->
+report + scene interpretation), with the data plane moved onto the TPU:
+
+- filter/ground/BEV/clustering/splatting run as fused XLA programs
+  (`msc_tpu/ops/*`) on one padded buffer — the reference's per-point
+  Python loops (SURVEY.md section 3.5 hot loops #1-#3) are gone;
+- cluster classification batches <=10 clusters per model call with the
+  same tiled multi-view image + metadata contract
+  (`lidar_agent.py:358-504`);
+- clustering backend selectable: "device" (voxel connected components)
+  or "host" (exact grid DBSCAN in C++), see `msc_tpu/ops/clustering.py`.
+
+The agent appends a machine-readable ``DETECTIONS_JSON`` marker line to
+its observations so detections survive the downstream text-channel layers
+(see `msc_tpu/serving/analytic.py` module docstring).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msc_tpu.agents.base import BaseAgent
+from msc_tpu.config import LiDARConfig
+from msc_tpu.data.mqa import camera_sextant
+from msc_tpu.ops import (
+    filter_and_segment,
+    pad_point_cloud,
+    rasterize_bev,
+    decorate_semantic_bev,
+    render_cluster_views,
+    voxel_cluster,
+)
+from msc_tpu.ops.boxgeom import DIR8, direction_8way
+from msc_tpu.ops.splat import (
+    gather_cluster_points,
+    tile_cluster_grids,
+    tile_cluster_grids_device,
+)
+from msc_tpu.serving.analytic import DET_MARKER
+
+
+@dataclasses.dataclass
+class DetectedObject:
+    """A detected object (parity with `lidar_agent.py:18-27`)."""
+
+    category: str
+    position: np.ndarray      # [x, y, z]
+    dimensions: np.ndarray    # [length, width, height]
+    num_points: int
+    distance: float
+    direction: str
+    confidence: float
+
+
+_CLASSIFY_SYSTEM = """You are an expert in 3D object classification for autonomous driving.
+
+You will see multi-view visualizations of objects detected from LiDAR point clouds. Each object is shown in 4 views: top (XY), side (XZ), front (YZ) and an isometric 3D view.
+
+Classify each object into one of: car, truck, bus, pedestrian, bicycle, motorcycle, trailer, barrier, traffic_cone, construction_vehicle, unknown.
+
+Guidelines:
+- Use shape, size, and point density to classify
+- Cars are roughly rectangular, 4-5m long, 1.6-2m wide
+- Pedestrians are small, vertical, roughly cylindrical
+- Trucks/buses are larger versions of cars (>5m)
+- Bicycles are thin, elongated (~2m long, <1m wide)
+- Consider the metadata (dimensions, point count) as additional context
+- If unsure, use 'unknown'
+
+Output format (JSON):
+{"classifications": [{"cluster": 0, "category": "car", "confidence": 0.9, "reasoning": "..."}, ...]}
+
+Be precise and provide confidence scores (0.0-1.0). Output valid JSON only."""
+
+_INTERPRET_SYSTEM = """You are an autonomous driving scene understanding expert.
+
+You receive a structured LiDAR analysis report with detected objects and a Bird's Eye View visualization showing object locations (green cross = ego vehicle, distance rings at 10/20/30/40m).
+
+Your task:
+- Provide high-level scene interpretation
+- Identify potential risks or notable situations
+- Describe the overall driving context
+- Note any patterns or important spatial relationships
+
+Be concise and focus on actionable insights for autonomous driving."""
+
+
+class LiDARAgent(BaseAgent):
+    """LiDAR processing agent (TPU data plane + model interpretation)."""
+
+    def __init__(self, client, model: str, agent_name: str,
+                 lidar_config: Optional[LiDARConfig] = None,
+                 cluster_backend: str = "device"):
+        super().__init__(client, model, agent_name)
+        self.cfg = lidar_config or LiDARConfig()
+        self.cluster_backend = cluster_backend
+        self.last_bev: Optional[Dict[str, np.ndarray]] = None
+
+    # ------------------------------------------------------------------
+    def process(self, point_cloud: np.ndarray,
+                context: Optional[Dict] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        pc_np, n = pad_point_cloud(point_cloud, cfg.max_points)
+        pc = jnp.asarray(pc_np)
+
+        # Steps 1-2, 4: one fused device pass (filter + ground + BEV).
+        # The BEV layers STAY ON DEVICE: the VLM consumes them as device
+        # images, and device->host transfers over the tunnel are the most
+        # expensive resource in the whole pipeline (see
+        # msc_tpu/utils/jax_setup.warmup_device_transfer).  Host copies are
+        # only materialized on demand (`generate_bev`, export tools).
+        masks = filter_and_segment(
+            pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
+            min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z)
+        bev = rasterize_bev(pc, masks["ground"], masks["object"],
+                            res=cfg.bev_resolution, bev_range=cfg.bev_range)
+        self.last_bev = bev
+
+        # Step 3: clustering (device voxel-CC or exact host DBSCAN).
+        clusters = self._cluster(pc_np, pc, masks)
+
+        # Step 3b: classification via batched vision calls.
+        detected = self._classify_clusters(pc_np, clusters)
+
+        # Step 5: semantic features (counts fetched in the same batched
+        # device_get as the cluster stats inside _cluster).
+        n_ground = int(masks["n_ground"])
+        n_object = int(masks["n_object"])
+        features = self._semantic_features(detected, n_ground, n_object)
+
+        # Step 6: structured report.
+        report = self._report(features, detected)
+
+        # Step 7: model interpretation of report + BEV (device image; the
+        # cv2 decorations are export-path cosmetics, not model input).
+        observations = self._interpret(report, bev["semantic"], context)
+        observations = self._append_marker(observations, detected)
+
+        return {
+            "agent": self.agent_name,
+            "modality": "lidar",
+            "detected_objects": [self._to_dict(o) for o in detected],
+            "semantic_features": features,
+            "structured_report": report,
+            "observations": observations,
+            "bev_metadata": {
+                "num_objects": len(detected),
+                "ground_points": n_ground,
+                "object_points": n_object,
+            },
+        }
+
+    # ------------------------------------------------------------------
+    def _cluster(self, pc_np: np.ndarray, pc, masks) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        if self.cluster_backend == "host":
+            from msc_tpu.data.lidar_io import dbscan_host
+
+            obj_idx = np.flatnonzero(np.asarray(masks["object"]))
+            labels, k = dbscan_host(pc_np[obj_idx], cfg.dbscan_eps,
+                                    cfg.dbscan_min_samples)
+            point_cluster = np.full(len(pc_np), -1, np.int32)
+            # drop tiny clusters + compact ids (parity lidar_agent.py:163-166)
+            keep_ids = [c for c in range(k)
+                        if (labels == c).sum() >= cfg.min_cluster_points]
+            remap = {c: i for i, c in enumerate(keep_ids)}
+            for c, i in remap.items():
+                point_cluster[obj_idx[labels == c]] = i
+            return {"point_cluster": point_cluster, "n_clusters": len(keep_ids)}
+
+        out = voxel_cluster(
+            pc, masks["object"], eps=cfg.dbscan_eps,
+            min_samples=cfg.dbscan_min_samples,
+            min_cluster_points=cfg.min_cluster_points,
+            bev_range=cfg.bev_range, z_min=cfg.min_z, z_max=cfg.max_z,
+            max_clusters=cfg.max_clusters)
+        # ONE batched device->host fetch for everything host logic needs
+        out = jax.device_get(out)
+        valid = np.asarray(out["cluster_valid"])
+        pcl = np.asarray(out["point_cluster"])
+        remap = np.full(len(valid) + 1, -1, np.int32)
+        remap[np.flatnonzero(valid)] = np.arange(int(valid.sum()))
+        point_cluster = np.where(pcl >= 0, remap[np.clip(pcl, 0, len(valid))], -1)
+        return {"point_cluster": point_cluster.astype(np.int32),
+                "n_clusters": int(valid.sum())}
+
+    def _classify_clusters(self, pc_np: np.ndarray,
+                           clusters: Dict) -> List[DetectedObject]:
+        k = int(clusters["n_clusters"])
+        if k == 0:
+            return []
+        point_cluster = clusters["point_cluster"]
+
+        # per-cluster geometry (host; k is small)
+        metas = []
+        for c in range(k):
+            pts = pc_np[point_cluster == c]
+            mins, maxs = pts[:, :3].min(0), pts[:, :3].max(0)
+            center = (mins + maxs) / 2
+            dims = maxs - mins
+            dist = float(np.hypot(center[0], center[1]))
+            d8 = int(np.asarray(direction_8way(
+                jnp.asarray(center[None, :2], jnp.float32)))[0])
+            metas.append({
+                "index": c, "center": center, "dimensions": dims,
+                "distance": dist, "direction": DIR8[d8],
+                "num_points": int(len(pts)),
+            })
+
+        # batched multi-view rendering for ALL clusters at once; the grids
+        # stay on device (they only feed the on-TPU VLM)
+        pts_buf, msk_buf = gather_cluster_points(pc_np, point_cluster, k)
+        grids = render_cluster_views(
+            jnp.asarray(pts_buf), jnp.asarray(msk_buf),
+            img_size=self.cfg.cluster_img_size)
+
+        detected: List[DetectedObject] = []
+        batch_size = 10  # parity: <=10 clusters per model call
+        for start in range(0, k, batch_size):
+            batch_meta = metas[start:start + batch_size]
+            tile = tile_cluster_grids_device(grids[start:start + batch_size])
+            classifications = self._classify_batch(tile, batch_meta)
+            for meta, cls in zip(batch_meta, classifications):
+                if cls["category"] != "unknown" and cls["confidence"] > 0.3:
+                    detected.append(DetectedObject(
+                        category=cls["category"],
+                        position=meta["center"],
+                        dimensions=meta["dimensions"],
+                        num_points=meta["num_points"],
+                        distance=meta["distance"],
+                        direction=meta["direction"],
+                        confidence=cls["confidence"],
+                    ))
+        return detected
+
+    def _classify_batch(self, tile: np.ndarray,
+                        metas: List[Dict]) -> List[Dict]:
+        lines = ["Object Cluster Details:"]
+        for i, m in enumerate(metas):
+            c, d = m["center"], m["dimensions"]
+            lines.append(
+                f"\nCluster #{i}:\n"
+                f"  Position: ({c[0]:.1f}, {c[1]:.1f}, {c[2]:.1f})m\n"
+                f"  Size: {d[0]:.1f} x {d[1]:.1f} x {d[2]:.1f}m (L x W x H)\n"
+                f"  Distance: {m['distance']:.1f}m\n"
+                f"  Direction: {m['direction']}\n"
+                f"  Points: {m['num_points']}")
+        user = (f"Classify these {len(metas)} object cluster(s):\n\n"
+                + "\n".join(lines)
+                + "\n\nAnalyze the multi-view visualizations and metadata, "
+                  "then classify each object. Output valid JSON only.")
+        messages = [
+            {"role": "system", "content": _CLASSIFY_SYSTEM},
+            {"role": "user", "content": [
+                {"type": "image"},
+                {"type": "text", "text": user},
+            ]},
+        ]
+        response = self.call_llm(messages, temperature=0.2,
+                                 task="cluster_classify", images=[tile])
+        try:
+            cleaned = response.strip()
+            if cleaned.startswith("```"):
+                cleaned = cleaned.split("```")[1]
+                if cleaned.startswith("json"):
+                    cleaned = cleaned[4:]
+                cleaned = cleaned.strip()
+            result = json.loads(cleaned)
+            listed = result.get("classifications", [])
+            out = []
+            for i in range(len(metas)):
+                hit = next((c for c in listed if c.get("cluster") == i),
+                           {"category": "unknown", "confidence": 0.5})
+                out.append({"category": hit.get("category", "unknown"),
+                            "confidence": hit.get("confidence", 0.5)})
+            return out
+        except (json.JSONDecodeError, KeyError, IndexError):
+            return [{"category": "unknown", "confidence": 0.5}
+                    for _ in metas]
+
+    # ------------------------------------------------------------------
+    def _semantic_features(self, detected: List[DetectedObject],
+                           n_ground: int, n_object: int) -> Dict[str, Any]:
+        """Parity with `lidar_agent.py:644-694`."""
+        counts: Dict[str, int] = {}
+        for o in detected:
+            counts[o.category] = counts.get(o.category, 0) + 1
+        by_dir = {d: 0 for d in ("front", "back", "left", "right",
+                                 "front_left", "front_right",
+                                 "back_left", "back_right")}
+        for o in detected:
+            by_dir[o.direction] += 1
+        close = [o for o in detected if o.distance < 10]
+        medium = [o for o in detected if 10 <= o.distance < 30]
+        far = [o for o in detected if o.distance >= 30]
+        total_points = n_ground + n_object
+        vehicles = [o for o in detected if o.category in ("car", "truck", "bus")]
+        density = ("heavy" if len(vehicles) > 10
+                   else "moderate" if len(vehicles) > 5 else "light")
+        nearest = min(detected, key=lambda o: o.distance) if detected else None
+        return {
+            "total_objects": len(detected),
+            "object_counts": counts,
+            "objects_by_direction": by_dir,
+            "distance_distribution": {"close": len(close),
+                                      "medium": len(medium),
+                                      "far": len(far)},
+            "scene_characteristics": {
+                "object_point_ratio": (n_object / total_points
+                                       if total_points else 0.0),
+                "traffic_density": density,
+                "total_points": total_points,
+            },
+            "nearest_object": nearest,
+        }
+
+    def _report(self, features: Dict, detected: List[DetectedObject]) -> str:
+        """Parity with `lidar_agent.py:696-742`."""
+        lines = ["=== LiDAR Scene Analysis ===\n",
+                 f"Total detected objects: {features['total_objects']}"]
+        if features["object_counts"]:
+            lines.append("\nObject Distribution:")
+            for cat, cnt in sorted(features["object_counts"].items()):
+                lines.append(f"  - {cnt} {cat}(s)")
+        lines.append("\nSpatial Distribution:")
+        for direction, cnt in features["objects_by_direction"].items():
+            if cnt > 0:
+                cats = ", ".join({o.category for o in detected
+                                  if o.direction == direction})
+                lines.append(f"  - {direction}: {cnt} objects ({cats})")
+        dd = features["distance_distribution"]
+        lines.append("\nDistance Distribution:")
+        lines.append(f"  - Close (<10m): {dd['close']} objects")
+        lines.append(f"  - Medium (10-30m): {dd['medium']} objects")
+        lines.append(f"  - Far (>30m): {dd['far']} objects")
+        nearest = features["nearest_object"]
+        if nearest:
+            lines.append("\nNearest Object:")
+            lines.append(f"  - Type: {nearest.category}")
+            lines.append(f"  - Distance: {nearest.distance:.1f}m")
+            lines.append(f"  - Direction: {nearest.direction}")
+        sc = features["scene_characteristics"]
+        lines.append("\nScene Characteristics:")
+        lines.append(f"  - Traffic density: {sc['traffic_density']}")
+        lines.append(f"  - Object point ratio: {sc['object_point_ratio']:.2%}")
+        return "\n".join(lines)
+
+    def _interpret(self, report: str, semantic_bev: np.ndarray,
+                   context: Optional[Dict]) -> str:
+        user = (f"Analyze this driving scene from LiDAR data:\n\n{report}\n\n"
+                "Provide a high-level interpretation of the scene, including:\n"
+                "1. Overall scene context (urban/highway, crowded/sparse, etc.)\n"
+                "2. Key objects and their significance\n"
+                "3. Potential risks or safety concerns\n"
+                "4. Notable spatial patterns or relationships")
+        if context:
+            user += f"\n\nAdditional context from other sensors:\n{json.dumps(context, indent=2)}"
+        messages = [
+            {"role": "system", "content": _INTERPRET_SYSTEM},
+            {"role": "user", "content": [
+                {"type": "image"},
+                {"type": "text", "text": user},
+            ]},
+        ]
+        return self.call_llm(messages, temperature=0.4,
+                             task="lidar_interpret", images=[semantic_bev])
+
+    @staticmethod
+    def _append_marker(observations: str,
+                       detected: List[DetectedObject]) -> str:
+        payload = [{
+            "category": ("adult pedestrian" if o.category == "pedestrian"
+                         else o.category.replace("_", " ")),
+            "direction": camera_sextant(o.position.tolist()),
+            "distance": round(o.distance, 1),
+            "state": "stopped",
+        } for o in detected]
+        marker = f"{DET_MARKER} {json.dumps(payload)}"
+        if marker.split(":")[0] in observations:
+            return observations
+        return observations + "\n" + marker
+
+    @staticmethod
+    def _to_dict(o: DetectedObject) -> Dict[str, Any]:
+        """Parity with `lidar_agent.py:806-817`."""
+        return {
+            "category": o.category,
+            "position": np.asarray(o.position, dtype=float).tolist(),
+            "dimensions": np.asarray(o.dimensions, dtype=float).tolist(),
+            "num_points": o.num_points,
+            "distance": float(o.distance),
+            "direction": o.direction,
+            "confidence": float(o.confidence),
+        }
+
+    # -- offline helpers (tools/export parity) --------------------------
+    def generate_bev(self, point_cloud: np.ndarray) -> Dict[str, np.ndarray]:
+        """BEV maps without any model calls (parity with the MockClient
+        trick at `src/export_sample_data.py:53-78`, now a first-class API)."""
+        cfg = self.cfg
+        pc_np, n = pad_point_cloud(point_cloud, cfg.max_points)
+        pc = jnp.asarray(pc_np)
+        masks = filter_and_segment(
+            pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
+            min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z)
+        bev = rasterize_bev(pc, masks["ground"], masks["object"],
+                            res=cfg.bev_resolution, bev_range=cfg.bev_range)
+        out = jax.device_get(bev)
+        out["semantic"] = decorate_semantic_bev(
+            np.asarray(out["semantic"]), cfg.bev_resolution, cfg.bev_range)
+        return out

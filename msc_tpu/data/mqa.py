@@ -53,7 +53,7 @@ def load_mqa_csv(path: str) -> pd.DataFrame:
     return df
 
 
-def _cam_of(translation: List[float]) -> str:
+def camera_sextant(translation: List[float]) -> str:
     """Map an object's (x, y) to the camera sextant covering it.
 
     Uses the ego-centric convention of the mock scenes: +x forward,
@@ -83,7 +83,7 @@ def count_objects(annotations: List[Dict], obj: Optional[str] = None,
         name = CATEGORY_TO_MQA_OBJECT.get(ann["category_name"])
         if name is None:
             continue
-        if cam is not None and _cam_of(ann["translation"]) != cam:
+        if cam is not None and camera_sextant(ann["translation"]) != cam:
             continue
         counts[name] = counts.get(name, 0) + 1
     if obj is not None:
@@ -152,3 +152,7 @@ def generate_mock_mqa(loader, num_scenes: int = 2,
                     })
                     break  # one object per camera keeps the set compact
     return pd.DataFrame(rows)
+
+
+# backwards-compat alias
+_cam_of = camera_sextant

@@ -1,0 +1,270 @@
+"""Autoregressive transformer decoder with a paged KV cache.
+
+The language half of the on-TPU VLM (BASELINE.json: "autoregressive
+caption decoding ... paged KV cache").  Gemma-style architecture: RMSNorm,
+rotary embeddings, grouped-query attention, SwiGLU MLP, tied LM head.
+
+Paged KV cache
+--------------
+Physical cache = (layers, num_pages, page_size, kv_heads, head_dim) pools
+for K and V; a per-sequence block table maps logical pages -> physical
+pages.  Sequences allocate pages on demand (the serving engine owns the
+allocator, `msc_tpu/serving/engine.py`), so HBM scales with *live* tokens,
+not max_seq_len * batch.  Decode gathers each sequence's pages with one
+take along the page axis — contiguous reads sized by the block table.
+
+All functions are functional (params/cache in, cache out) so they jit,
+shard with pjit, and differentiate for the training path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from msc_tpu.config import VLMConfig
+
+
+class KVCache(NamedTuple):
+    """Paged KV cache state (all arrays, jit-friendly)."""
+
+    k_pages: jax.Array       # (L, P, page, KV, hd)
+    v_pages: jax.Array       # (L, P, page, KV, hd)
+    block_tables: jax.Array  # (B, max_pages_per_seq) int32, -1 = unallocated
+    lengths: jax.Array       # (B,) int32 tokens written per sequence
+
+
+def init_decoder_params(key, cfg: VLMConfig) -> Dict:
+    D = cfg.d_model
+    H, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    keys = jax.random.split(key, 2 + cfg.n_layers)
+    params = {
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, D)) * 0.02,
+        "ln_f": jnp.ones((D,)),
+        "img_proj": jax.random.normal(keys[1], (cfg.vit_width, D)) * cfg.vit_width ** -0.5,
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[2 + i], 7)
+        params["layers"].append({
+            "ln1": jnp.ones((D,)),
+            "ln2": jnp.ones((D,)),
+            "wq": jax.random.normal(lk[0], (D, H * hd)) * D ** -0.5,
+            "wk": jax.random.normal(lk[1], (D, KV * hd)) * D ** -0.5,
+            "wv": jax.random.normal(lk[2], (D, KV * hd)) * D ** -0.5,
+            "wo": jax.random.normal(lk[3], (H * hd, D)) * (H * hd) ** -0.5,
+            "w_gate": jax.random.normal(lk[4], (D, cfg.mlp_hidden)) * D ** -0.5,
+            "w_up": jax.random.normal(lk[5], (D, cfg.mlp_hidden)) * D ** -0.5,
+            "w_down": jax.random.normal(lk[6], (cfg.mlp_hidden, D)) * cfg.mlp_hidden ** -0.5,
+        })
+    return params
+
+
+def init_kv_cache(cfg: VLMConfig, batch: int, num_pages: int,
+                  max_pages_per_seq: int, dtype=jnp.bfloat16) -> KVCache:
+    L, KV, hd, pg = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim, cfg.page_size
+    return KVCache(
+        k_pages=jnp.zeros((L, num_pages, pg, KV, hd), dtype),
+        v_pages=jnp.zeros((L, num_pages, pg, KV, hd), dtype),
+        block_tables=jnp.full((batch, max_pages_per_seq), -1, jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _rmsnorm(x, scale):
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + 1e-6)
+    return (y * scale).astype(x.dtype)
+
+
+def _rope(x, positions, theta: float):
+    """Rotary embedding. x: (..., T, H, hd); positions: (..., T)."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions[..., None].astype(jnp.float32) * freqs  # (..., T, half)
+    cos = jnp.cos(ang)[..., None, :]
+    sin = jnp.sin(ang)[..., None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _mlp(layer, x, dtype):
+    g = jnp.dot(x, layer["w_gate"].astype(dtype), preferred_element_type=jnp.float32)
+    u = jnp.dot(x, layer["w_up"].astype(dtype), preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(dtype)
+    return jnp.dot(h, layer["w_down"].astype(dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
+
+
+def embed_tokens(params: Dict, ids: jax.Array, img_embeds: jax.Array | None,
+                 img_token_id: int, dtype=jnp.bfloat16) -> jax.Array:
+    """Token ids -> embeddings, splicing projected image embeddings into
+    the IMG placeholder positions (PaLI-style early fusion).
+
+    img_embeds: (B, N_img_total, vit_width) or None; consumed in order by
+    the IMG placeholders of each row.
+    """
+    emb = params["embed"].astype(dtype)[ids]
+    if img_embeds is None:
+        return emb
+    proj = jnp.dot(img_embeds.astype(dtype), params["img_proj"].astype(dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
+    is_img = ids == img_token_id
+    # k-th IMG placeholder in a row <- k-th projected image embedding
+    order = jnp.cumsum(is_img, axis=1) - 1
+    order = jnp.clip(order, 0, proj.shape[1] - 1)
+    gathered = jnp.take_along_axis(proj, order[..., None], axis=1)
+    return jnp.where(is_img[..., None], gathered, emb)
+
+
+def _attention_full(q, k, v, mask, dtype):
+    """Full (prefill) GQA attention.  q: (B,T,H,hd), k/v: (B,T,KV,hd),
+    mask: (B,T,T) bool (True = attend)."""
+    B, T, H, hd = q.shape
+    KV = k.shape[2]
+    G = H // KV
+    q = q.reshape(B, T, KV, G, hd)
+    att = jnp.einsum("btkgd,bskd->bkgts", q, k,
+                     preferred_element_type=jnp.float32) * hd ** -0.5
+    att = jnp.where(mask[:, None, None], att, -1e30)
+    att = jax.nn.softmax(att, axis=-1)
+    o = jnp.einsum("bkgts,bskd->btkgd", att.astype(dtype), v,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(B, T, H * hd).astype(dtype)
+
+
+def prefill(params: Dict, cfg: VLMConfig, ids: jax.Array,
+            img_embeds: jax.Array | None, cache: KVCache,
+            pad_id: int, img_token_id: int) -> Tuple[jax.Array, KVCache]:
+    """Run the prompt through the decoder, writing K/V into the paged cache.
+
+    ids: (B, T) right-padded with pad_id.  T must be a multiple of
+    cfg.page_size; block_tables[:, :T/page] must be pre-allocated.
+
+    Returns (logits_last (B, vocab), cache').
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    B, T = ids.shape
+    pg = cfg.page_size
+    n_pages = T // pg
+    valid = ids != pad_id
+    lengths = valid.sum(axis=1).astype(jnp.int32)
+    positions = jnp.arange(T)[None, :].astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
+
+    x = embed_tokens(params, ids, img_embeds, img_token_id, dtype)
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    mask = causal[None] & valid[:, None, :]
+
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    bt = cache.block_tables
+
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["ln1"])
+        q = jnp.dot(h, layer["wq"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        k = jnp.dot(h, layer["wk"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        v = jnp.dot(h, layer["wv"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        # write K/V into this layer's pages: (B, n_pages) physical ids
+        pages = bt[:, :n_pages]
+        k_resh = k.reshape(B, n_pages, pg, cfg.n_kv_heads, cfg.head_dim)
+        v_resh = v.reshape(B, n_pages, pg, cfg.n_kv_heads, cfg.head_dim)
+        k_pages = k_pages.at[li, pages].set(k_resh.astype(k_pages.dtype))
+        v_pages = v_pages.at[li, pages].set(v_resh.astype(v_pages.dtype))
+
+        o = _attention_full(q, k, v, mask, dtype)
+        o = jnp.dot(o, layer["wo"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        x = x + o
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+
+    x = _rmsnorm(x, params["ln_f"])
+    # logits at each sequence's last valid position
+    last = jnp.clip(lengths - 1, 0, T - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = jnp.dot(x_last, params["embed"].T.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    new_cache = KVCache(k_pages, v_pages, bt, lengths)
+    return logits.astype(jnp.float32), new_cache
+
+
+def decode_step(params: Dict, cfg: VLMConfig, tokens: jax.Array,
+                cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """One decode step for all sequences.
+
+    tokens: (B,) int32 current input tokens.
+    Returns (logits (B, vocab), cache') with lengths advanced by 1.
+    Block tables must already cover position lengths[b].
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    B = tokens.shape[0]
+    pg = cfg.page_size
+    max_pages = cache.block_tables.shape[1]
+    Tmax = max_pages * pg
+    pos = cache.lengths  # (B,) position being written
+
+    x = params["embed"].astype(dtype)[tokens][:, None, :]  # (B, 1, D)
+
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    bt = cache.block_tables
+    page_idx = jnp.take_along_axis(bt, (pos // pg)[:, None], axis=1)[:, 0]
+    offset = pos % pg
+
+    kv_mask = (jnp.arange(Tmax)[None, :] <= pos[:, None])  # attend incl. self
+
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["ln1"])
+        q = jnp.dot(h, layer["wq"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        k = jnp.dot(h, layer["wk"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        v = jnp.dot(h, layer["wv"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        q = q.reshape(B, 1, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = _rope(q, pos[:, None], cfg.rope_theta)
+        k = _rope(k, pos[:, None], cfg.rope_theta)
+
+        # scatter new K/V into pages at (page_idx, offset)
+        k_pages = k_pages.at[li, page_idx, offset].set(
+            k[:, 0].astype(k_pages.dtype))
+        v_pages = v_pages.at[li, page_idx, offset].set(
+            v[:, 0].astype(v_pages.dtype))
+
+        # gather this sequence's pages: (B, max_pages, pg, KV, hd)
+        bt_safe = jnp.maximum(bt, 0)
+        ks = k_pages[li][bt_safe].reshape(B, Tmax, cfg.n_kv_heads, cfg.head_dim)
+        vs = v_pages[li][bt_safe].reshape(B, Tmax, cfg.n_kv_heads, cfg.head_dim)
+
+        KV, G, hd = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads, cfg.head_dim
+        qg = q.reshape(B, KV, G, hd)
+        att = jnp.einsum("bkgd,bskd->bkgs", qg, ks,
+                         preferred_element_type=jnp.float32) * hd ** -0.5
+        att = jnp.where(kv_mask[:, None, None], att, -1e30)
+        att = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("bkgs,bskd->bkgd", att.astype(dtype), vs,
+                       preferred_element_type=jnp.float32)
+        o = o.reshape(B, 1, cfg.n_heads * hd).astype(dtype)
+        o = jnp.dot(o, layer["wo"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        x = x + o
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+
+    x = _rmsnorm(x, params["ln_f"])[:, 0]
+    logits = jnp.dot(x, params["embed"].T.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    new_cache = KVCache(k_pages, v_pages, bt, cache.lengths + 1)
+    return logits.astype(jnp.float32), new_cache

@@ -1,0 +1,54 @@
+"""Token sampling: greedy / temperature, with optional DFA constraints.
+
+Constrained decoding (SURVEY.md hard part #1): the serving layer compiles
+a JSON schema into a byte-level DFA (`msc_tpu/serving/structured.py`);
+here the DFA's transition table masks the logits each step so the model can
+only emit schema-valid bytes — the TPU-native equivalent of the
+reference's `chat.completions.parse(response_format=...)`
+(`src/agents/base_agent.py:27-34`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class FSM(NamedTuple):
+    """Byte-level DFA over the token vocabulary.
+
+    trans: (S, V) int32 — next state, or -1 if the byte is not allowed.
+    accept: (S,) bool — states where the JSON document is complete
+            (EOS becomes legal).
+    """
+
+    trans: jax.Array
+    accept: jax.Array
+
+
+def sample_token(logits: jax.Array, temperature: float, rng: jax.Array,
+                 fsm: Optional[FSM], fsm_state: Optional[jax.Array],
+                 eos_id: int):
+    """Sample next tokens (B,) from logits (B, V), applying DFA masks.
+
+    Returns (tokens, next_fsm_state).
+    """
+    if fsm is not None:
+        row = fsm.trans[fsm_state]                     # (B, V)
+        allowed = row >= 0
+        allowed = allowed.at[:, eos_id].set(
+            allowed[:, eos_id] | fsm.accept[fsm_state])
+        logits = jnp.where(allowed, logits, -jnp.inf)
+
+    if temperature <= 0.0:
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        tokens = jax.random.categorical(rng, logits / temperature).astype(jnp.int32)
+
+    if fsm is not None:
+        nxt = jnp.take_along_axis(fsm.trans[fsm_state], tokens[:, None], 1)[:, 0]
+        next_state = jnp.where(tokens == eos_id, fsm_state, jnp.maximum(nxt, 0))
+        return tokens, next_state
+    return tokens, fsm_state

@@ -1,0 +1,131 @@
+"""The on-TPU VLM: ViT encoder + paged-KV decoder + generation loop.
+
+Replaces the reference's Azure OpenAI vision/chat calls
+(`src/agents/base_agent.py:14-58`) with a local JAX model.  One
+``generate`` call covers both `chat.completions.create` (free text) and
+`chat.completions.parse` (schema-constrained JSON via a byte-level DFA).
+
+The whole decode loop is a single jitted `lax.while_loop` — prefill once,
+then one fused decode step per token with early exit when every row hit
+EOS.  Sharding-ready: all ops are batched matmuls/gathers that pjit can
+partition over a (data, model) mesh (see msc_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from msc_tpu.config import VLMConfig
+from msc_tpu.models import decoder as dec
+from msc_tpu.models import vit as vit_mod
+from msc_tpu.models.sampling import FSM, sample_token
+from msc_tpu.models.tokenizer import BOS_ID, EOS_ID, IMG_ID, PAD_ID
+
+
+def init_vlm_params(key, cfg: VLMConfig) -> Dict:
+    k1, k2 = jax.random.split(key)
+    return {"vit": vit_mod.init_vit_params(k1, cfg),
+            "dec": dec.init_decoder_params(k2, cfg)}
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array   # (B, max_new) int32, PAD after EOS
+    lengths: jax.Array  # (B,) int32 generated-token counts (excl. EOS)
+
+
+class VLM:
+    """Convenience wrapper owning jitted prefill/decode/generate closures."""
+
+    def __init__(self, cfg: VLMConfig, params: Dict):
+        self.cfg = cfg
+        self.params = params
+        self._encode = jax.jit(
+            lambda p, imgs: vit_mod.vit_encode(p, imgs, cfg))
+
+    def encode_images(self, images: jax.Array) -> jax.Array:
+        """(N, S, S, 3) float -> (N, tokens_per_image, vit_width)."""
+        return self._encode(self.params["vit"], images)
+
+    @functools.partial(jax.jit, static_argnames=("self", "max_new_tokens",
+                                                 "temperature", "use_fsm"))
+    def generate(self, ids: jax.Array, img_embeds: Optional[jax.Array],
+                 cache: dec.KVCache, rng: jax.Array,
+                 max_new_tokens: int = 128, temperature: float = 0.0,
+                 use_fsm: bool = False,
+                 fsm_trans: Optional[jax.Array] = None,
+                 fsm_accept: Optional[jax.Array] = None) -> Tuple[GenerateResult, dec.KVCache]:
+        """Prefill + autoregressive decode.
+
+        ids: (B, T) right-padded prompt, T multiple of page_size.
+        img_embeds: (B, N_img, vit_width) or None.
+        cache: pre-allocated KVCache whose block tables cover
+               T + max_new_tokens positions.
+        """
+        cfg = self.cfg
+        params = self.params["dec"]
+        B = ids.shape[0]
+        fsm = FSM(fsm_trans, fsm_accept) if use_fsm else None
+
+        logits, cache = dec.prefill(params, cfg, ids, img_embeds, cache,
+                                    PAD_ID, IMG_ID)
+
+        out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
+        fsm_state = jnp.zeros((B,), jnp.int32)
+        done = jnp.zeros((B,), bool)
+
+        def cond(state):
+            i, _, _, _, done, _, _ = state
+            return (i < max_new_tokens) & ~jnp.all(done)
+
+        def body(state):
+            i, logits, cache, out, done, fsm_state, rng = state
+            rng, sub = jax.random.split(rng)
+            tok, fsm_state = sample_token(
+                logits, temperature, sub, fsm, fsm_state, EOS_ID)
+            tok = jnp.where(done, PAD_ID, tok)
+            now_done = done | (tok == EOS_ID)
+            out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))
+            # advance: feed sampled token (EOS rows keep stepping PAD but
+            # are masked out of the output; cheaper than compaction)
+            step_tok = jnp.where(now_done, jnp.int32(PAD_ID), tok)
+            logits, cache = dec.decode_step(params, cfg, step_tok, cache)
+            return i + 1, logits, cache, out, now_done, fsm_state, rng
+
+        i, logits, cache, out, done, fsm_state, rng = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), logits, cache, out, done, fsm_state, rng))
+
+        lengths = (out != PAD_ID).sum(axis=1).astype(jnp.int32)
+        return GenerateResult(out, lengths), cache
+
+
+def make_cache_for(cfg: VLMConfig, batch: int, prompt_len: int,
+                   max_new_tokens: int) -> dec.KVCache:
+    """Allocate a cache + identity block tables covering one batched call.
+
+    The serving engine replaces this with its page allocator; this helper
+    is for direct/model-level use and tests.
+    """
+    pg = cfg.page_size
+    pages_per_seq = -(-(prompt_len + max_new_tokens) // pg)
+    num_pages = batch * pages_per_seq
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    cache = dec.init_kv_cache(cfg, batch, num_pages, pages_per_seq, dtype)
+    bt = jnp.arange(num_pages, dtype=jnp.int32).reshape(batch, pages_per_seq)
+    return cache._replace(block_tables=bt)
+
+
+def pad_prompt(ids, pad_to_multiple: int, pad_id: int = PAD_ID):
+    """Right-pad (B, T) ids so T is a multiple of the page size."""
+    import numpy as np
+
+    T = ids.shape[1]
+    T_pad = -(-T // pad_to_multiple) * pad_to_multiple
+    if T_pad == T:
+        return ids
+    out = np.full((ids.shape[0], T_pad), pad_id, dtype=ids.dtype)
+    out[:, :T] = ids
+    return out

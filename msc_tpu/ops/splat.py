@@ -144,6 +144,24 @@ def decorate_views(img: np.ndarray, img_size: int = 256) -> np.ndarray:
     return out
 
 
+def tile_cluster_grids_device(grids: jax.Array, max_cols: int = 3) -> jax.Array:
+    """Device-side tiling of K cluster grids into one (rows*H, cols*W, 3)
+    image for a batched classification call.
+
+    Stays on device end-to-end — the tile only feeds the on-TPU VLM, and
+    device->host transfers are the scarcest resource on the tunnel.  The
+    host version below adds cv2 numbering/axes for export artifacts.
+    """
+    k, h, w = grids.shape
+    cols = min(max_cols, k)
+    rows = -(-k // cols)
+    pad = rows * cols - k
+    g = jnp.pad(grids, ((0, pad), (0, 0), (0, 0)), constant_values=255)
+    canvas = g.reshape(rows, cols, h, w).transpose(0, 2, 1, 3)
+    canvas = canvas.reshape(rows * h, cols * w)
+    return jnp.repeat(canvas[..., None], 3, axis=-1)
+
+
 def tile_cluster_grids(grids: np.ndarray, max_cols: int = 3) -> np.ndarray:
     """Arrange K cluster grids into one labeled image for a batched
     classification call (`lidar_agent.py:367-386`)."""

@@ -1,0 +1,200 @@
+"""SemanticCaptioningPipeline: the 4-layer orchestration.
+
+Behavior parity with `src/pipeline.py:34-195`:
+  Layer 1 content transformation with modality dropout (camera-index
+  subsetting at `:114-116`; cross-modal only when >1 modality, `:133-136`)
+  -> Layer 2 seed captions over ``{"observations": [...]}`` (`:142-144`)
+  -> Layer 3 iterative refinement (max 3 iterations, `:75-77`)
+  -> Layer 4 structured caption.
+Result dict keys are unchanged (``pipeline_stages``, ``structured_caption``,
+``refinement_metadata``) so the evaluation stack's accesses
+(`src/evaluation_framework.py:559`) work as-is.
+
+TPU-native differences: the model backend is local (analytic / on-TPU VLM
+instead of Azure HTTPS), the LiDAR/image data plane runs on device, the 5
+seed-focus calls batch into one device call, and every stage is timed
+(``pipeline.timer``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from msc_tpu.agents import (
+    CameraAgent,
+    CaptionGenerator,
+    CrossModalAgent,
+    EditorAgent,
+    IterativeRefinementController,
+    LiDARAgent,
+    SceneGraphAgent,
+    SeedFeatureAgent,
+    SuggesterAgent,
+)
+from msc_tpu.config import LiDARConfig, ModalityConfig, ModelConfig
+from msc_tpu.serving.client import ChatClient, make_backend
+from msc_tpu.utils.tracing import StageTimer
+
+
+class SemanticCaptioningPipeline:
+    """Complete semantic captioning pipeline."""
+
+    def __init__(self, config: Optional[ModelConfig] = None,
+                 lidar_config: Optional[LiDARConfig] = None,
+                 backend=None, verbose: bool = True):
+        self.config = config or ModelConfig()
+        self.lidar_config = lidar_config or LiDARConfig()
+        self.verbose = verbose
+        self.timer = StageTimer()
+        from msc_tpu.utils.jax_setup import warmup_device_transfer
+
+        warmup_device_transfer()
+        if backend is None:
+            backend = make_backend(self.config)
+        self.client = ChatClient(backend)
+        self._initialize_agents()
+
+    def _initialize_agents(self):
+        cfg = self.config
+        # Layer 1: content transformation
+        self.camera_agent = CameraAgent(self.client, cfg.vision_model, "CameraAgent")
+        self.lidar_agent = LiDARAgent(self.client, cfg.small_model, "LiDARAgent",
+                                      lidar_config=self.lidar_config)
+        self.scene_graph_agent = SceneGraphAgent(self.client, cfg.small_model,
+                                                 "SceneGraphAgent")
+        self.cross_modal_agent = CrossModalAgent(self.client, cfg.small_model,
+                                                 "CrossModalAgent")
+        # Layer 2: seed features
+        self.seed_agent = SeedFeatureAgent(self.client, cfg.small_model)
+        # Layer 3: refinement (max 3 iterations, parity pipeline.py:75-77)
+        self.suggester = SuggesterAgent(self.client, cfg.small_model, "SuggesterAgent")
+        self.editor = EditorAgent(self.client, cfg.small_model, "EditorAgent")
+        self.refinement_system = IterativeRefinementController(
+            self.suggester, self.editor, max_iterations=3, verbose=False)
+        # Layer 4: caption generation
+        self.caption_generator = CaptionGenerator(self.client, cfg.small_model,
+                                                  "CaptionGenerator")
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg)
+
+    # ------------------------------------------------------------------
+    def process_scene(self,
+                      images: List[np.ndarray],
+                      camera_names: List[str],
+                      point_cloud: Optional[np.ndarray] = None,
+                      annotations: Optional[List[Dict]] = None,
+                      modality_config: Optional[ModalityConfig] = None
+                      ) -> Dict[str, Any]:
+        """Process a complete scene through the 4-layer pipeline."""
+        if modality_config is None:
+            modality_config = ModalityConfig()
+
+        results: Dict[str, Any] = {"pipeline_stages": {}}
+
+        # ---- Layer 1: content transformation with modality dropout ----
+        self._log("Layer 1: Content Transformation...")
+        layer1_outputs: List[Dict] = []
+
+        if modality_config.use_cameras and images:
+            if modality_config.camera_indices:
+                images = [images[i] for i in modality_config.camera_indices]
+                camera_names = [camera_names[i]
+                                for i in modality_config.camera_indices]
+            with self.timer.stage("layer1.camera"):
+                layer1_outputs.append(
+                    self.camera_agent.process(images, camera_names))
+            self._log(f"  CameraAgent processed {len(images)} cameras")
+
+        if modality_config.use_lidar and point_cloud is not None:
+            with self.timer.stage("layer1.lidar"):
+                layer1_outputs.append(self.lidar_agent.process(point_cloud))
+            self._log(f"  LiDARAgent processed {len(point_cloud)} points")
+
+        if modality_config.use_annotations and annotations:
+            with self.timer.stage("layer1.scene_graph"):
+                layer1_outputs.append(
+                    self.scene_graph_agent.process(annotations))
+            self._log(f"  SceneGraphAgent processed {len(annotations)} objects")
+
+        if len(layer1_outputs) > 1:
+            with self.timer.stage("layer1.cross_modal"):
+                layer1_outputs.append(
+                    self.cross_modal_agent.facilitate_exchange(layer1_outputs))
+            self._log("  CrossModalAgent coordinated information")
+
+        results["pipeline_stages"]["layer1_content_transformation"] = layer1_outputs
+
+        # ---- Layer 2: seed caption ----
+        self._log("Layer 2: Seed Features Generation...")
+        transformed_content = {
+            "observations": [out.get("observations", "")
+                             for out in layer1_outputs]
+        }
+        with self.timer.stage("layer2.seed"):
+            seed_caption = self.seed_agent.generate_comprehensive_caption(
+                transformed_content)
+        results["pipeline_stages"]["layer2_seed_caption"] = seed_caption
+
+        # ---- Layer 3: iterative refinement ----
+        self._log("Layer 3: Iterative Features Refinement...")
+        with self.timer.stage("layer3.refinement"):
+            refinement_result = self.refinement_system.refine(
+                seed_caption["final_caption"], transformed_content)
+        status = "converged" if refinement_result["converged"] else "completed"
+        self._log(f"  Refinement {status} after "
+                  f"{refinement_result['total_iterations']} iteration(s)")
+        results["pipeline_stages"]["layer3_refinement"] = {
+            "iterations": refinement_result["iterations"],
+            "final_caption": refinement_result["final_caption"],
+            "converged": refinement_result["converged"],
+            "total_iterations": refinement_result["total_iterations"],
+            "convergence_iteration": refinement_result.get("convergence_iteration"),
+        }
+
+        # ---- Layer 4: structured caption ----
+        self._log("Layer 4: Caption Generation...")
+        with self.timer.stage("layer4.caption"):
+            structured = self.caption_generator.generate_structured_caption(
+                refinement_result["final_caption"])
+        results["pipeline_stages"]["layer4_caption"] = structured
+        results["structured_caption"] = structured["structured_caption"]
+        results["refinement_metadata"] = {
+            "converged": refinement_result["converged"],
+            "iterations": refinement_result["total_iterations"],
+        }
+        return results
+
+    # ------------------------------------------------------------------
+    def answer_mqa(self, question: str, scene_results: Dict) -> str:
+        """Answer an MQA question about a processed scene
+        (parity `src/pipeline.py:189-195`)."""
+        with self.timer.stage("mqa.answer"):
+            return self.caption_generator.answer_mqa_question(
+                question, scene_results["structured_caption"])
+
+    def answer_mqa_batch(self, questions: List[str],
+                         scene_results: Dict) -> List[str]:
+        """All of one scene's questions in a single batched model call
+        (throughput lever, SURVEY.md section 7 step 7)."""
+        caption = scene_results["structured_caption"]
+        calls = []
+        for q in questions:
+            import json as _json
+
+            user = (f"Question: {q}\n\nScene Information:\n"
+                    f"{_json.dumps(caption, indent=2)}\n\n"
+                    "Provide a precise answer using the correct XML format.")
+            calls.append(dict(
+                messages=[
+                    {"role": "system",
+                     "content": "Answer using nuScenes-MQA XML tags "
+                                "(<target><cnt></cnt> <obj></obj></target>, "
+                                "<ans>)."},
+                    {"role": "user", "content": user}],
+                temperature=0.2, task="mqa_answer"))
+        with self.timer.stage("mqa.answer_batch"):
+            return self.client.call_llm_batch(calls)

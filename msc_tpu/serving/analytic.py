@@ -1,0 +1,477 @@
+"""Deterministic, LLM-free backend for the ``call_llm`` seam.
+
+Computes every agent response from the information present in the prompt
+— exactly the information an LLM would see — with rule-based logic.  This
+makes the full 4-layer pipeline + MQA evaluation hermetic (no weights, no
+network) while preserving real modality-ablation behavior: object
+knowledge only reaches the final caption if some Layer-1 agent actually
+put it into its observations.
+
+Information flows through the same text channel the reference uses
+(observation strings hand between layers, `src/pipeline.py:142-144`):
+Layer-1 agents embed machine-readable marker lines
+
+    OBJECTS_JSON: [{"category": ..., "direction": ..., "distance": ...,
+                    "state": ...}, ...]        (scene-graph agent)
+    DETECTIONS_JSON: [...]                      (lidar agent)
+
+into their observation prose; this backend preserves the markers through
+seed/merge/refine (the VLM backend's prompts instruct the model to keep
+all details, same contract) and the structured-caption task parses them
+back out.  MQA answers are then computed from the structured caption only
+— so camera-only ablations really do lose annotation knowledge, matching
+the reference's information topology.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from msc_tpu.eval.synonyms import (
+    normalize_camera,
+    normalize_object_name,
+)
+from msc_tpu.serving.client import Backend
+
+OBJ_MARKER = "OBJECTS_JSON:"
+DET_MARKER = "DETECTIONS_JSON:"
+
+
+def _user_text(messages: List[dict]) -> str:
+    parts = []
+    for m in messages:
+        c = m.get("content", "")
+        if isinstance(c, str):
+            parts.append(c)
+        else:
+            parts.extend(p.get("text", "") for p in c if p.get("type") == "text")
+    return "\n".join(parts)
+
+
+def extract_markers(text: str) -> List[dict]:
+    """Collect objects from the marker lines.
+
+    Sensor-fusion rule: annotation-derived OBJECTS_JSON is authoritative;
+    LiDAR DETECTIONS_JSON is only used when no annotation marker exists
+    (otherwise every physical object would be counted twice — once from
+    the annotation stream and once from its LiDAR cluster)."""
+    for marker in (OBJ_MARKER, DET_MARKER):
+        out: List[dict] = []
+        seen = set()
+        for m in re.finditer(re.escape(marker) + r"\s*(\[.*?\])\s*$", text,
+                             re.MULTILINE):
+            payload = m.group(1)
+            if payload in seen:  # same marker surviving multiple layers
+                continue
+            seen.add(payload)
+            try:
+                out.extend(json.loads(payload))
+            except json.JSONDecodeError:
+                continue
+        if out:
+            return out
+    return []
+
+
+def _marker_lines(text: str) -> List[str]:
+    """Unique marker lines, last occurrence of each marker kind wins."""
+    lines: Dict[str, str] = {}
+    for line in text.splitlines():
+        s = line.strip()
+        if s.startswith(OBJ_MARKER) or s.startswith(DET_MARKER):
+            lines[s.split(":")[0]] = s
+    return list(lines.values())
+
+
+# ---------------------------------------------------------------------------
+# Geometric cluster classification (rule-based version of the vision
+# prompt's own guidelines, `src/agents/content_transform/
+# lidar_agent.py:401-447`: "Cars are roughly rectangular, 4-5m long...").
+# ---------------------------------------------------------------------------
+
+def classify_cluster_geometry(dims, num_points: int) -> Dict[str, Any]:
+    """dims: (dx, dy, dz) bounding-box extents in meters."""
+    d = sorted(float(abs(x)) for x in dims[:2])
+    w, l = d[0], d[1]
+    h = float(abs(dims[2]))
+    if h < 1.0 and l < 0.7 and w < 0.7:
+        return {"category": "traffic_cone", "confidence": 0.8}
+    if 1.1 <= h <= 2.1 and l < 1.2 and w < 1.0:
+        return {"category": "pedestrian", "confidence": 0.8}
+    if 1.2 <= l <= 2.6 and w <= 1.2:
+        cat = "motorcycle" if w > 0.62 else "bicycle"
+        return {"category": cat, "confidence": 0.6}
+    if 3.0 <= l <= 5.6 and 1.3 <= w <= 2.4 and h <= 2.2:
+        return {"category": "car", "confidence": 0.85}
+    if l > 8.0 and h > 2.6:
+        return {"category": "bus", "confidence": 0.75}
+    if 5.0 <= l <= 12.0 and h > 1.8:
+        return {"category": "truck", "confidence": 0.7}
+    if 1.4 <= l <= 4.5 and w < 1.1 and 0.4 <= h <= 1.6:
+        return {"category": "barrier", "confidence": 0.6}
+    return {"category": "unknown", "confidence": 0.5}
+
+
+# ---------------------------------------------------------------------------
+# MQA answering from a structured caption
+# ---------------------------------------------------------------------------
+
+def answer_mqa_from_caption(question: str, caption: Dict) -> str:
+    """Count/existence answering over caption['objects'], emitting the
+    nuScenes-MQA XML contract (`src/agents/structure_caption/
+    caption_agent.py:127-148`)."""
+    objs = re.findall(r"<obj>(.*?)</obj>", question, re.IGNORECASE)
+    cams = re.findall(r"<cam>(.*?)</cam>", question, re.IGNORECASE)
+    target_obj = objs[0].strip() if objs else None
+    target_cam = normalize_camera(cams[0]) if cams else None
+
+    count = 0
+    if target_obj is not None:
+        want = normalize_object_name(target_obj)
+        for o in caption.get("objects", []):
+            got = normalize_object_name(o.get("category", ""))
+            if got != want:
+                continue
+            if target_cam is not None:
+                pos = str(o.get("position", "")).lower().replace("_", " ")
+                if normalize_camera(pos.split(",")[0]) != target_cam:
+                    continue
+            count += 1
+
+    obj_word = target_obj if target_obj else "objects"
+    target = f"<target><cnt>{count}</cnt> <obj>{obj_word}</obj></target>"
+    if re.search(r"\bis there\b|\bare there any\b", question, re.IGNORECASE):
+        yn = "yes" if count > 0 else "no"
+        return f"<ans>{yn}</ans>, there are {target}."
+    return f"There are {target}."
+
+
+# ---------------------------------------------------------------------------
+# The backend
+# ---------------------------------------------------------------------------
+
+class AnalyticBackend(Backend):
+    """Rule-based completion engine dispatching on the ``task`` hint."""
+
+    def complete(self, messages: List[dict], temperature: float,
+                 response_format: Any = None, task: Optional[str] = None,
+                 images: Sequence[np.ndarray] = ()) -> str:
+        text = _user_text(messages)
+        task = task or ""
+
+        if task == "camera_describe":
+            return self._camera(text)
+        if task == "cluster_classify":
+            return self._cluster_classify(text)
+        if task == "lidar_interpret":
+            return self._lidar_interpret(text)
+        if task == "scene_graph":
+            return self._scene_graph(text)
+        if task == "crossmodal":
+            return self._crossmodal(text)
+        if task.startswith("seed:"):
+            return self._seed(task.split(":", 1)[1], text)
+        if task == "merge":
+            return self._merge(text)
+        if task == "suggest":
+            return self._suggest(text)
+        if task == "edit":
+            return self._edit(text)
+        if task == "structure_caption":
+            return self._structure_caption(text)
+        if task == "mqa_answer":
+            return self._mqa(text)
+        # default: echo a compact acknowledgment of the prompt
+        return "Scene analysis: " + text[:200]
+
+    # -- task implementations ------------------------------------------
+    def _camera(self, text: str) -> str:
+        cams = re.findall(r"Camera:\s*(\S+)", text)
+        if not cams:
+            cams = ["CAM_FRONT"]
+        sections = []
+        for c in cams:
+            sections.append(
+                f"{c}: The view shows a driving scene. No high-confidence "
+                f"object detections are available from imagery alone in "
+                f"this configuration.")
+        return "\n\n".join(sections)
+
+    def _cluster_classify(self, text: str) -> str:
+        pat = re.compile(
+            r"Cluster #(\d+):.*?Size:\s*([\d.]+)\s*x\s*([\d.]+)\s*x\s*([\d.]+)m"
+            r".*?Points:\s*(\d+)", re.DOTALL)
+        classifications = []
+        for m in pat.finditer(text):
+            idx = int(m.group(1))
+            dims = (float(m.group(2)), float(m.group(3)), float(m.group(4)))
+            cls = classify_cluster_geometry(dims, int(m.group(5)))
+            classifications.append({
+                "cluster": idx,
+                "category": cls["category"],
+                "confidence": cls["confidence"],
+                "reasoning": f"bbox {dims[0]:.1f}x{dims[1]:.1f}x{dims[2]:.1f}m",
+            })
+        return json.dumps({"classifications": classifications})
+
+    def _lidar_interpret(self, text: str) -> str:
+        total = re.search(r"Total detected objects:\s*(\d+)", text)
+        density = re.search(r"Traffic density:\s*(\w+)", text)
+        lines = [
+            "LiDAR scene interpretation: the point cloud analysis detected "
+            f"{total.group(1) if total else 'several'} objects around the "
+            f"ego vehicle; traffic density is "
+            f"{density.group(1) if density else 'unknown'}.",
+        ]
+        near = re.search(
+            r"Nearest Object:\s*\n\s*- Type:\s*(\w+)\s*\n\s*- Distance:\s*"
+            r"([\d.]+)m\s*\n\s*- Direction:\s*(\w+)", text)
+        if near:
+            lines.append(
+                f"The nearest object is a {near.group(1)} at "
+                f"{near.group(2)}m to the {near.group(3)}; it is the most "
+                f"immediately safety-relevant element.")
+        lines.extend(_marker_lines(text))
+        return "\n".join(lines)
+
+    def _scene_graph(self, text: str) -> str:
+        """Build the full HierarchicalSceneGraph JSON from the object
+        details the agent put in the prompt."""
+        m = re.search(r"Object details:\s*(\[.*\])", text, re.DOTALL)
+        objects = []
+        if m:
+            try:
+                objects = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                objects = []
+        total = re.search(r"Total objects:\s*(\d+)", text)
+        total_n = int(total.group(1)) if total else len(objects)
+
+        def scene_obj(o):
+            pos = o.get("position", [0, 0, 0])
+            return {
+                "id": o.get("id", "obj"),
+                "category": o.get("category", "unknown"),
+                "subcategory": o.get("category", "unknown"),
+                "position_x": float(pos[0]), "position_y": float(pos[1]),
+                "position_z": float(pos[2]),
+                "distance_to_ego": float(o.get("distance", 0.0)),
+                "direction": o.get("direction", "front"),
+                "state": o.get("state", "stopped"),
+                "visibility": o.get("visibility", "high"),
+            }
+
+        def pick(pred):
+            return [scene_obj(o) for o in objects if pred(o.get("category", ""))]
+
+        vehicles = pick(lambda c: any(k in c for k in ("car", "truck", "bus", "trailer")))
+        cyclists = pick(lambda c: "bicycle" in c or "motorcycle" in c)
+        peds = pick(lambda c: "pedestrian" in c or "adult" in c or "child" in c)
+        barriers = pick(lambda c: "barrier" in c)
+        cones = pick(lambda c: "cone" in c)
+        constr = pick(lambda c: "construction" in c)
+
+        zones = []
+        for zone, lo, hi, d in (("front_close", 0, 10, "front"),
+                                ("front_medium", 10, 30, "front"),
+                                ("left_close", 0, 10, "left"),
+                                ("right_close", 0, 10, "right"),
+                                ("back_close", 0, 10, "back")):
+            zobjs = [scene_obj(o) for o in objects
+                     if o.get("direction") == d and lo <= o.get("distance", 0) < hi]
+            zones.append({
+                "zone_name": zone, "objects": zobjs,
+                "is_clear": len(zobjs) == 0,
+                "criticality": "high" if (zobjs and hi <= 10) else "low",
+            })
+
+        close = [o for o in objects if o.get("distance", 99) < 10]
+        safety = [
+            f"{o.get('category', 'object')} at {o.get('distance', 0):.1f}m "
+            f"to the {o.get('direction', '?')}" for o in close]
+        graph = {
+            "scene_summary": (
+                f"Driving scene with {total_n} annotated objects: "
+                f"{len(vehicles)} vehicles, {len(peds)} pedestrians, "
+                f"{len(cyclists)} cyclists."),
+            "environment": {"lighting": "day", "weather": "clear",
+                            "visibility_overall": "good",
+                            "location_type": "urban"},
+            "road_structure": {
+                "road_type": "urban street",
+                "lanes": {"lane_count": 2, "lane_type": "urban",
+                          "ego_lane_position": "center",
+                          "lane_markings": ["solid white edge lines"]},
+                "road_elements": [],
+                "surface_condition": "dry",
+            },
+            "traffic_participants": {"vehicles": vehicles,
+                                     "cyclists": cyclists,
+                                     "vulnerable_road_users": peds},
+            "sidewalk_areas": {"has_sidewalk": False, "pedestrians": [],
+                               "static_objects": [], "location": "unknown"},
+            "static_infrastructure": {"barriers": barriers,
+                                      "traffic_cones": cones,
+                                      "construction": constr, "other": []},
+            "spatial_zones": zones,
+            "safety_critical_elements": safety or ["no objects within 10m"],
+            "total_objects": total_n,
+        }
+        return json.dumps(graph)
+
+    def _crossmodal(self, text: str) -> str:
+        lines = ["Cross-modal synthesis: the available sensor streams were "
+                 "compared for agreement; complementary observations were "
+                 "merged and no blocking contradictions were found."]
+        lines.extend(_marker_lines(text))
+        return "\n".join(lines)
+
+    def _seed(self, focus: str, text: str) -> str:
+        objects = extract_markers(text)
+        lines: List[str] = []
+        if focus == "objects" and objects:
+            descs = [
+                f"a {o.get('category', 'object')} about "
+                f"{float(o.get('distance', 0.0)):.0f} meters to the "
+                f"{o.get('direction', 'front')} ({o.get('state', 'stopped')})"
+                for o in objects]
+            lines.append("The scene contains " + "; ".join(descs) + ".")
+        elif focus == "spatial_relations" and objects:
+            near = sorted(objects, key=lambda o: o.get("distance", 99))[:3]
+            lines.append(
+                "The closest elements are " + ", ".join(
+                    f"a {o.get('category')} at "
+                    f"{float(o.get('distance', 0)):.0f}m "
+                    f"{o.get('direction', '')}" for o in near) + ".")
+        elif focus == "dynamics" and objects:
+            moving = [o for o in objects if o.get("state") == "moving"]
+            lines.append(
+                f"{len(moving)} of {len(objects)} tracked objects are "
+                "currently moving; the remainder are stationary.")
+        elif focus == "safety" and objects:
+            close = [o for o in objects if float(o.get("distance", 99)) < 10]
+            if close:
+                lines.append(
+                    "Safety-critical proximity: " + ", ".join(
+                        f"{o.get('category')} within 10m to the "
+                        f"{o.get('direction')}" for o in close) + ".")
+            else:
+                lines.append("No objects are within the 10m safety envelope.")
+        elif focus == "scene_structure":
+            lines.append(
+                "The scene is an urban driving environment with a drivable "
+                "road surface around the ego vehicle and mixed traffic.")
+        if not lines:
+            lines.append(
+                f"No additional {focus.replace('_', ' ')} information is "
+                "available from the current sensor configuration.")
+        lines.extend(_marker_lines(text))
+        return "\n".join(lines)
+
+    def _merge(self, text: str) -> str:
+        # strip the instruction trailer after the last caption section
+        m = re.search(r"\n\nCreate a single", text)
+        if m:
+            text = text[: m.start()]
+        # captions appear as "<FOCUS> CAPTION:\n<body>" sections
+        sections = re.split(r"\n\n[A-Z_]+ CAPTION:\n", "\n\n" + text)
+        body: List[str] = []
+        for sec in sections[1:]:
+            for line in sec.strip().splitlines():
+                s = line.strip()
+                if not s or s.startswith((OBJ_MARKER, DET_MARKER)):
+                    continue
+                if s not in body:
+                    body.append(s)
+        out = " ".join(body) if body else "A driving scene."
+        markers = _marker_lines(text)
+        return "\n".join([out] + markers)
+
+    def _suggest(self, text: str) -> str:
+        it = re.search(r"Iteration\s+(\d+)", text)
+        iteration = int(it.group(1)) if it else 1
+        if iteration <= 1:
+            return json.dumps({
+                "has_suggestions": True,
+                "suggestions": [
+                    "State explicit counts for every object category.",
+                    "Give distances and directions for all nearby objects.",
+                ],
+                "reasoning": "First pass: quantitative grounding can be "
+                             "tightened.",
+            })
+        return json.dumps({
+            "has_suggestions": False,
+            "suggestions": [],
+            "reasoning": "The caption is comprehensive; counts, distances "
+                         "and directions are explicit.",
+        })
+
+    def _edit(self, text: str) -> str:
+        m = re.search(r"Current Caption:\s*\n(.*?)\n\s*Suggestions:", text,
+                      re.DOTALL)
+        caption = m.group(1).strip() if m else text[:500]
+        objects = extract_markers(text)
+        if objects:
+            counts: Dict[str, int] = {}
+            for o in objects:
+                c = str(o.get("category", "object"))
+                counts[c] = counts.get(c, 0) + 1
+            summary = ", ".join(f"{v} {k}{'s' if v != 1 else ''}"
+                                for k, v in sorted(counts.items()))
+            caption = caption + f"\nIn total the scene contains {summary}."
+        return json.dumps({
+            "caption": caption,
+            "changes_made": ["Added explicit per-category object counts."],
+        })
+
+    def _structure_caption(self, text: str) -> str:
+        objects = extract_markers(text)
+        caption_objects = []
+        for o in objects:
+            direction = str(o.get("direction", "front")).replace("_", " ")
+            caption_objects.append({
+                "category": str(o.get("category", "unknown")),
+                "position": f"{direction}, "
+                            f"{float(o.get('distance', 0.0)):.1f}m",
+                "state": str(o.get("state", "stopped")),
+                "attributes": [a for a in [o.get("attribute")] if a],
+                "visibility": str(o.get("visibility", "high")),
+            })
+        counts: Dict[str, int] = {}
+        for o in caption_objects:
+            counts[o["category"]] = counts.get(o["category"], 0) + 1
+        summary = (", ".join(f"{v} {k}(s)" for k, v in sorted(counts.items()))
+                   or "no confirmed objects")
+        close = [o for o in objects if float(o.get("distance", 99)) < 10]
+        caption = {
+            "scene_summary": f"Urban driving scene containing {summary}.",
+            "ego_vehicle": {"action": "driving", "lane_position": "center",
+                            "speed_estimate": "moderate"},
+            "objects": caption_objects,
+            "road_structure": {"type": "urban street", "lanes": "2 lanes",
+                               "markings": ["edge lines"]},
+            "environment": {"lighting": "day", "weather": "clear",
+                            "location_type": "urban"},
+            "safety_critical": [
+                f"{o.get('category')} at {float(o.get('distance', 0)):.1f}m "
+                f"{str(o.get('direction', '')).replace('_', ' ')}"
+                for o in close] or ["no objects within 10m"],
+        }
+        return json.dumps(caption)
+
+    def _mqa(self, text: str) -> str:
+        q = re.search(r"Question:\s*(.+)", text)
+        question = q.group(1).strip() if q else text
+        m = re.search(r"Scene Information:\s*(\{.*\})", text, re.DOTALL)
+        caption = {}
+        if m:
+            try:
+                caption = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                caption = {}
+        return answer_mqa_from_caption(question, caption)

@@ -1,0 +1,184 @@
+"""The model-call seam: ``call_llm`` parity with the reference.
+
+The reference funnels every model call through
+``BaseAgent.call_llm(messages, temperature, max_retries, response_format)``
+(`src/agents/base_agent.py:14-58`).  msc_tpu keeps that exact seam, with
+three interchangeable backends:
+
+  * ``VLMBackend``      — the on-TPU JAX VLM via InferenceEngine
+                          (structured outputs via DFA-constrained decode).
+  * ``AnalyticBackend`` — deterministic, LLM-free implementation that
+                          computes each response from the information in
+                          the prompt (msc_tpu/serving/analytic.py).
+  * ``FakeBackend``     — canned test double (the recorded-response seam
+                          the reference lacks, SURVEY.md section 4).
+
+Extensions over the reference seam (both optional & ignored by the VLM
+backend's HTTP-parity semantics):
+  * ``task=``: a semantic hint naming the agent operation, used by the
+    analytic/fake backends for dispatch.
+  * ``images=``: numpy arrays attached to image parts (the reference
+    inlines base64 JPEG data-URLs; on-TPU we pass arrays and skip the
+    encode/decode round-trip entirely).
+  * ``call_llm_batch``: many calls fused into one batched device program.
+
+Error semantics parity: transient backend failures retry with exponential
+backoff capped at 60s; non-transient errors re-raise
+(`src/agents/base_agent.py:36-58`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class TransientBackendError(RuntimeError):
+    """Equivalent of a rate-limit/overload error (retryable)."""
+
+
+class Backend:
+    """Interface: produce a completion for one chat call."""
+
+    def complete(self, messages: List[dict], temperature: float,
+                 response_format: Any = None, task: Optional[str] = None,
+                 images: Sequence[np.ndarray] = ()) -> str:
+        raise NotImplementedError
+
+    def complete_batch(self, calls: List[dict]) -> List[str]:
+        return [self.complete(**c) for c in calls]
+
+
+class ChatClient:
+    """Drop-in stand-in for the reference's AzureOpenAI client wrapper."""
+
+    def __init__(self, backend: Backend):
+        self.backend = backend
+
+    def call_llm(self, messages: List[dict], temperature: float = 0.7,
+                 max_retries: int = 8, response_format: Any = None,
+                 task: Optional[str] = None,
+                 images: Sequence[np.ndarray] = ()) -> Any:
+        delay = 5.0
+        for attempt in range(max_retries):
+            try:
+                text = self.backend.complete(
+                    messages, temperature, response_format, task, images)
+                if response_format is None:
+                    return text
+                return _parse_structured(text, response_format)
+            except TransientBackendError:
+                time.sleep(min(delay, 0.01))  # tests: effectively instant
+                delay = min(delay * 2, 60.0)
+                continue
+        raise RuntimeError(f"LLM call failed after {max_retries} retries.")
+
+    def call_llm_batch(self, calls: List[dict]) -> List[Any]:
+        """Batched seam: each element is a kwargs dict for call_llm.
+        Groups by response_format so the VLM backend runs homogeneous
+        constrained batches."""
+        results: List[Any] = [None] * len(calls)
+        groups: Dict[Any, List[int]] = {}
+        for i, c in enumerate(calls):
+            key = id(c.get("response_format"))
+            groups.setdefault(key, []).append(i)
+        for idxs in groups.values():
+            batch = [dict(
+                messages=calls[i]["messages"],
+                temperature=calls[i].get("temperature", 0.0),
+                response_format=calls[i].get("response_format"),
+                task=calls[i].get("task"),
+                images=calls[i].get("images", ()),
+            ) for i in idxs]
+            texts = self.backend.complete_batch(batch)
+            for i, text in zip(idxs, texts):
+                rf = calls[i].get("response_format")
+                results[i] = text if rf is None else _parse_structured(text, rf)
+        return results
+
+
+def _parse_structured(text: str, response_format: Any) -> Any:
+    """Parse a completion into the requested structured type
+    (parity with `chat.completions.parse` returning `.parsed`)."""
+    if isinstance(response_format, type) and hasattr(response_format,
+                                                     "model_validate_json"):
+        return response_format.model_validate_json(text)
+    return json.loads(text)
+
+
+class FakeBackend(Backend):
+    """Deterministic canned-response test double.
+
+    ``responses`` maps task names (or "*" default) to either a string, a
+    dict (serialized to JSON), or a callable(messages, task) -> str.
+    ``fail_first_n`` simulates transient errors for retry-path tests.
+    """
+
+    def __init__(self, responses: Optional[Dict[str, Any]] = None,
+                 fail_first_n: int = 0):
+        self.responses = responses or {}
+        self.calls: List[dict] = []
+        self._fail_remaining = fail_first_n
+
+    def complete(self, messages, temperature, response_format=None,
+                 task=None, images=()):
+        self.calls.append({"task": task, "messages": messages,
+                           "temperature": temperature,
+                           "n_images": len(images)})
+        if self._fail_remaining > 0:
+            self._fail_remaining -= 1
+            raise TransientBackendError("simulated rate limit")
+        resp = self.responses.get(task, self.responses.get("*", "ok"))
+        if callable(resp):
+            resp = resp(messages, task)
+        if isinstance(resp, (dict, list)):
+            resp = json.dumps(resp)
+        return resp
+
+
+class VLMBackend(Backend):
+    """On-TPU VLM backend."""
+
+    def __init__(self, engine, max_new_tokens: int = 256):
+        self.engine = engine
+        self.max_new_tokens = max_new_tokens
+
+    def complete(self, messages, temperature, response_format=None,
+                 task=None, images=()):
+        return self.complete_batch([dict(
+            messages=messages, temperature=temperature,
+            response_format=response_format, task=task, images=images)])[0]
+
+    def complete_batch(self, calls: List[dict]) -> List[str]:
+        from msc_tpu.serving.engine import Request
+
+        reqs = [Request(
+            messages=c["messages"],
+            temperature=c.get("temperature", 0.0),
+            schema=c.get("response_format"),
+            images=list(c.get("images", ())),
+            max_new_tokens=self.max_new_tokens,
+        ) for c in calls]
+        return self.engine.generate_batch(reqs)
+
+
+def make_backend(model_config, vlm_params=None) -> Backend:
+    """Factory from ModelConfig.backend.kind."""
+    kind = model_config.backend.kind
+    if kind == "fake":
+        return FakeBackend()
+    if kind == "analytic":
+        from msc_tpu.serving.analytic import AnalyticBackend
+
+        return AnalyticBackend()
+    if kind == "vlm":
+        from msc_tpu.serving.engine import InferenceEngine
+
+        engine = InferenceEngine(model_config.vlm, params=vlm_params,
+                                 seed=model_config.seed)
+        return VLMBackend(engine,
+                          max_new_tokens=model_config.backend.max_new_tokens)
+    raise ValueError(f"unknown backend kind: {kind}")

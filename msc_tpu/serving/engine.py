@@ -1,0 +1,207 @@
+"""Inference engine: batched prefill/decode over the paged KV cache.
+
+Owns the physical KV page pool and a free-list allocator; each
+``generate_batch`` call allocates block tables for its requests, runs one
+jitted prefill + decode loop, and frees the pages.  Prompt lengths bucket
+to page multiples so XLA compiles a small, reusable set of program shapes.
+
+This is the subsystem that replaces the reference's HTTPS round-trips to
+Azure (`src/agents/base_agent.py:21-34`); the pipeline funnels
+semantically-parallel agent calls (the L1 agents, the 5 seed-focus
+captions, cluster-classification batches) into single batched calls here
+(SURVEY.md section 7 step 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msc_tpu.config import VLMConfig
+from msc_tpu.models import decoder as dec
+from msc_tpu.models.tokenizer import ByteTokenizer, PAD_ID
+from msc_tpu.models.vlm import VLM, init_vlm_params
+from msc_tpu.ops.image import preprocess_images
+from msc_tpu.serving import structured
+
+
+@dataclasses.dataclass
+class Request:
+    """One chat-completion request."""
+
+    messages: List[dict]
+    temperature: float = 0.0
+    schema: Any = None            # pydantic class or spec dict, or None
+    images: Sequence[np.ndarray] = ()  # referenced by image parts, in order
+    max_new_tokens: int = 256
+
+
+class PageAllocator:
+    """Free-list allocator over the physical KV page pool."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self.free = list(range(num_pages - 1, -1, -1))
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self.free):
+            raise RuntimeError(
+                f"KV page pool exhausted: need {n}, have {len(self.free)}")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages: Sequence[int]):
+        self.free.extend(pages)
+
+    @property
+    def used(self) -> int:
+        return self.num_pages - len(self.free)
+
+
+_PROMPT_BUCKETS = (256, 512, 1024, 2048)
+
+
+class InferenceEngine:
+    def __init__(self, cfg: VLMConfig, params: Optional[dict] = None,
+                 seed: int = 0, num_pages: int = 2048,
+                 max_pages_per_seq: int = 24):
+        self.cfg = cfg
+        self.tokenizer = ByteTokenizer(cfg.vocab_size)
+        if params is None:
+            params = init_vlm_params(jax.random.PRNGKey(seed), cfg)
+        self.vlm = VLM(cfg, params)
+        self.allocator = PageAllocator(num_pages)
+        self.max_pages_per_seq = max_pages_per_seq
+        self._rng = jax.random.PRNGKey(seed + 1)
+        # persistent device-side page pools
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self._cache_template = dec.init_kv_cache(
+            cfg, batch=1, num_pages=num_pages,
+            max_pages_per_seq=max_pages_per_seq, dtype=dtype)
+        self._k_pages = self._cache_template.k_pages
+        self._v_pages = self._cache_template.v_pages
+
+    # ------------------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in _PROMPT_BUCKETS:
+            if n <= b:
+                return b
+        return _PROMPT_BUCKETS[-1]
+
+    def _tokenize(self, req: Request) -> List[int]:
+        ids = self.tokenizer.apply_chat_template(
+            req.messages, num_image_tokens=self.cfg.tokens_per_image)
+        limit = _PROMPT_BUCKETS[-1]
+        if len(ids) > limit:
+            # head+tail truncation: keep the system framing and the most
+            # recent content (reference relies on Azure's 128k window;
+            # our default context is smaller).
+            head = ids[: limit // 4]
+            tail = ids[-(limit - limit // 4):]
+            ids = head + tail
+        return ids
+
+    def generate_batch(self, requests: List[Request]) -> List[str]:
+        """Run a homogeneous batch (same schema) through one
+        prefill+decode program.  Returns decoded strings."""
+        if not requests:
+            return []
+        schema = requests[0].schema
+        assert all(r.schema is schema for r in requests), \
+            "generate_batch requires a homogeneous schema"
+
+        tok_lists = [self._tokenize(r) for r in requests]
+        T = self._bucket(max(len(t) for t in tok_lists))
+        T = -(-T // self.cfg.page_size) * self.cfg.page_size
+        ids = self.tokenizer.pad_batch(tok_lists, pad_to=T)[:, :T]
+        # re-truncate rows that individually exceeded the bucket
+        B = len(requests)
+
+        max_new = max(r.max_new_tokens for r in requests)
+        pages_per_seq = min(
+            self.max_pages_per_seq,
+            -(-(T + max_new) // self.cfg.page_size))
+        total_new = pages_per_seq * self.cfg.page_size - T
+        max_new = max(1, min(max_new, total_new))
+
+        # allocate pages
+        page_lists = [self.allocator.alloc(pages_per_seq) for _ in range(B)]
+        bt = np.full((B, pages_per_seq), 0, np.int32)
+        for i, pl in enumerate(page_lists):
+            bt[i] = pl
+
+        # encode images (one ViT batch across all requests)
+        img_embeds = None
+        n_img = max((len(r.images) for r in requests), default=0)
+        if n_img > 0:
+            tpi = self.cfg.tokens_per_image
+            flat = []
+            for r in requests:
+                for im in r.images:
+                    # device arrays pass straight through (no host copy);
+                    # grayscale -> RGB on whichever side the data lives
+                    if isinstance(im, jax.Array):
+                        if im.ndim == 2:
+                            im = jnp.repeat(im[..., None], 3, axis=-1)
+                    elif im.ndim == 2:
+                        im = np.repeat(im[..., None], 3, axis=-1)
+                    flat.append(im)
+            # group by raw shape so each shape preprocesses as one batch
+            # (shapes recur across scenes: camera frames, BEV, cluster tiles)
+            enc = [None] * len(flat)
+            by_shape: Dict[tuple, List[int]] = {}
+            for idx, im in enumerate(flat):
+                by_shape.setdefault(tuple(im.shape), []).append(idx)
+            for shape, idxs in by_shape.items():
+                batch_imgs = jnp.stack([jnp.asarray(flat[i]) for i in idxs])
+                pre = preprocess_images(batch_imgs, size=self.cfg.image_size)
+                group = self.vlm.encode_images(pre)  # (g, tpi, W)
+                for pos, i in enumerate(idxs):
+                    enc[i] = group[pos]
+            # assemble per-row embeddings on device (no host round trip)
+            rows = []
+            k = 0
+            for r in requests:
+                parts = [enc[k + j] for j in range(len(r.images))]
+                k += len(r.images)
+                need = n_img * tpi - tpi * len(parts)
+                if need > 0:
+                    parts.append(jnp.zeros((need, self.cfg.vit_width),
+                                           enc[0].dtype))
+                rows.append(jnp.concatenate(parts, axis=0)
+                            if parts else
+                            jnp.zeros((n_img * tpi, self.cfg.vit_width)))
+            img_embeds = jnp.stack(rows)
+
+        cache = dec.KVCache(
+            k_pages=self._k_pages, v_pages=self._v_pages,
+            block_tables=jnp.asarray(bt),
+            lengths=jnp.zeros((B,), jnp.int32))
+
+        use_fsm = schema is not None
+        fsm_trans = fsm_accept = None
+        if use_fsm:
+            dfa = structured.compile_schema_cached(schema, self.cfg.vocab_size)
+            fsm_trans = jnp.asarray(dfa.trans)
+            fsm_accept = jnp.asarray(dfa.accept)
+
+        self._rng, sub = jax.random.split(self._rng)
+        result, cache = self.vlm.generate(
+            jnp.asarray(ids), img_embeds, cache, sub,
+            max_new_tokens=max_new,
+            temperature=float(requests[0].temperature),
+            use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept)
+
+        # persist page pools (weights of the cache survive across calls)
+        self._k_pages = cache.k_pages
+        self._v_pages = cache.v_pages
+        for pl in page_lists:
+            self.allocator.release(pl)
+
+        out_tokens = np.asarray(result.tokens)
+        lengths = np.asarray(result.lengths)
+        return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
+                for i in range(B)]

@@ -1,0 +1,276 @@
+"""JSON-schema -> byte-level DFA compiler for constrained decoding.
+
+TPU-native equivalent of the reference's
+`chat.completions.parse(response_format=PydanticModel)`
+(`src/agents/base_agent.py:27-34`): the schema compiles into a DFA over
+UTF-8 bytes; since the VLM tokenizer is byte-level
+(`msc_tpu/models/tokenizer.py`), the DFA transition table directly masks
+token logits during decode — the model can only ever emit schema-valid
+JSON (compact form, fields in schema order, all fields required).
+
+Supported schema subset (covers every reference schema:
+StructuredCaption `src/agents/structure_caption/caption_agent.py:7-44`,
+HierarchicalSceneGraph `src/agents/content_transform/scenegraph_agent.py:18-120`,
+SuggestionResponse, RefinedFeaturesResponse):
+
+    {"type": "object", "properties": {...}}   (ordered, all required)
+    {"type": "string"} / {"type": "integer"} / {"type": "number"}
+    {"type": "boolean"} / {"type": "null"}
+    {"type": "array", "items": <spec>}
+    {"enum": ["lit1", "lit2", ...]}           (string literals)
+
+Pydantic model classes are accepted directly (converted via
+``model_json_schema`` with $ref resolution).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# String-value alphabet: printable ASCII minus '"' and '\' (no escape
+# sequences — the constrained model simply cannot emit them).
+_STRING_BYTES = [b for b in range(32, 127) if b not in (34, 92)]
+_DIGITS = [ord(c) for c in "0123456789"]
+
+
+class DFA:
+    """Immutable compiled DFA."""
+
+    def __init__(self, trans: np.ndarray, accept: np.ndarray):
+        self.trans = trans      # (S, vocab) int32, -1 = invalid
+        self.accept = accept    # (S,) bool
+
+    @property
+    def num_states(self) -> int:
+        return self.trans.shape[0]
+
+
+class _Builder:
+    def __init__(self):
+        self.rows: List[Dict[int, int]] = [{}]
+
+    def new_state(self) -> int:
+        self.rows.append({})
+        return len(self.rows) - 1
+
+    def add(self, s: int, byte: int, t: int):
+        existing = self.rows[s].get(byte)
+        if existing is not None and existing != t:
+            raise ValueError(
+                f"DFA conflict at state {s} on byte {byte!r} "
+                f"({existing} vs {t}) — schema is ambiguous")
+        self.rows[s][byte] = t
+
+    def literal(self, entries: List[int], text: str) -> List[int]:
+        """Append a literal string after every entry state; returns the
+        single exit state."""
+        data = text.encode("utf-8")
+        cur = entries
+        for b in data:
+            nxt = self.new_state()
+            for s in cur:
+                self.add(s, b, nxt)
+            cur = [nxt]
+        return cur
+
+    # -- value automata: each takes entry states, returns exit states ----
+    def compile_value(self, spec, entries: List[int]) -> List[int]:
+        if isinstance(spec, type):  # pydantic model class
+            spec = pydantic_to_spec(spec)
+        if "enum" in spec:
+            return self._enum(spec["enum"], entries)
+        t = spec.get("type")
+        if t == "object":
+            return self._object(spec, entries)
+        if t == "array":
+            return self._array(spec, entries)
+        if t == "string":
+            return self._string(entries)
+        if t == "integer":
+            return self._number(entries, frac=False)
+        if t == "number":
+            return self._number(entries, frac=True)
+        if t == "boolean":
+            a = self.literal(entries, "true")
+            b = self.literal(entries, "false")
+            return a + b
+        if t == "null":
+            return self.literal(entries, "null")
+        raise ValueError(f"unsupported schema node: {spec}")
+
+    def _string(self, entries: List[int],
+                max_len: int = 48) -> List[int]:
+        """Bounded-length string: the DFA structurally guarantees the
+        closing quote arrives within ``max_len`` bytes, so constrained
+        decodes always terminate in valid JSON regardless of model
+        quality (critical with untrained weights)."""
+        exit_ = self.new_state()
+        cur = self.new_state()
+        for s in entries:
+            self.add(s, 34, cur)    # opening quote
+        self.add(cur, 34, exit_)    # close allowed at every length 0..max
+        for _ in range(max_len):
+            nxt = self.new_state()
+            for b in _STRING_BYTES:
+                self.add(cur, b, nxt)
+            self.add(nxt, 34, exit_)
+            cur = nxt
+        # final chain state has no byte transitions: close is forced
+        return [exit_]
+
+    def _number(self, entries: List[int], frac: bool,
+                max_int_digits: int = 7, max_frac_digits: int = 4) -> List[int]:
+        """Bounded-length number (same termination guarantee as _string)."""
+        after_sign = self.new_state()
+        for s in entries:
+            self.add(s, ord("-"), after_sign)
+        # JSON int grammar: "0" | [1-9][0-9]*  (no leading zeros)
+        zero = self.new_state()
+        for s in entries:
+            self.add(s, ord("0"), zero)
+        self.add(after_sign, ord("0"), zero)
+        exits: List[int] = [zero]
+        cur = None
+        for i in range(max_int_digits):
+            nxt = self.new_state()
+            digits = _DIGITS[1:] if i == 0 else _DIGITS
+            for d in digits:
+                if i == 0:
+                    for s in entries:
+                        self.add(s, d, nxt)
+                    self.add(after_sign, d, nxt)
+                else:
+                    self.add(cur, d, nxt)
+            exits.append(nxt)
+            cur = nxt
+        int_exits = list(exits)
+        if frac:
+            frac_start = self.new_state()
+            for e in int_exits:
+                self.add(e, ord("."), frac_start)
+            fcur = frac_start
+            for j in range(max_frac_digits):
+                fnxt = self.new_state()
+                for d in _DIGITS:
+                    self.add(fcur, d, fnxt)
+                exits.append(fnxt)
+                fcur = fnxt
+        return exits
+
+    def _enum(self, values: List[str], entries: List[int]) -> List[int]:
+        """Trie over quoted string literals."""
+        start = self.new_state()
+        for s in entries:
+            self.add(s, 34, start)
+        exit_ = self.new_state()
+        # build a byte trie
+        trie_nodes: Dict[Tuple[int, ...], int] = {(): start}
+        for v in values:
+            data = v.encode("utf-8")
+            for i in range(1, len(data) + 1):
+                prefix = tuple(data[:i])
+                if prefix not in trie_nodes:
+                    trie_nodes[prefix] = self.new_state()
+                    self.add(trie_nodes[tuple(data[:i - 1])], data[i - 1],
+                             trie_nodes[prefix])
+            self.add(trie_nodes[tuple(data)], 34, exit_)
+        return [exit_]
+
+    def _object(self, spec, entries: List[int]) -> List[int]:
+        props = spec["properties"]
+        cur = self.literal(entries, "{")
+        first = True
+        for key, sub in props.items():
+            sep = '"' if first else ',"'
+            cur = self.literal(cur, f'{sep}{key}":')
+            cur = self.compile_value(sub, cur)
+            first = False
+        return self.literal(cur, "}")
+
+    def _array(self, spec, entries: List[int],
+               max_items: int = 6) -> List[int]:
+        """Bounded array: the item automaton is unrolled ``max_items``
+        times (termination guarantee, same rationale as _string)."""
+        open_ = self.new_state()
+        for s in entries:
+            self.add(s, ord("["), open_)
+        close = self.new_state()
+        self.add(open_, ord("]"), close)  # empty array
+        entry_states = [open_]
+        for i in range(max_items):
+            ient = self.new_state()
+            exits = self.compile_value(spec["items"], [ient])
+            # splice the item's entry row into this repetition's entries
+            for es in entry_states:
+                for b, t in self.rows[ient].items():
+                    self.add(es, b, t)
+            for x in exits:
+                self.add(x, ord("]"), close)
+            if i < max_items - 1:
+                sep = self.new_state()
+                for x in exits:
+                    self.add(x, ord(","), sep)
+                entry_states = [sep]
+        return [close]
+
+
+def pydantic_to_spec(model) -> dict:
+    """Convert a pydantic BaseModel class to the spec subset, resolving
+    $refs and enforcing schema field order."""
+    raw = model.model_json_schema()
+    defs = raw.get("$defs", {})
+
+    def resolve(node):
+        if "$ref" in node:
+            name = node["$ref"].split("/")[-1]
+            return resolve(defs[name])
+        if "allOf" in node and len(node["allOf"]) == 1:
+            return resolve(node["allOf"][0])
+        if "anyOf" in node:
+            # Optional[...] -> take the non-null branch
+            branches = [b for b in node["anyOf"] if b.get("type") != "null"]
+            if len(branches) == 1:
+                return resolve(branches[0])
+            raise ValueError("unsupported anyOf in schema")
+        t = node.get("type")
+        if t == "object":
+            return {"type": "object", "properties": {
+                k: resolve(v) for k, v in node.get("properties", {}).items()}}
+        if t == "array":
+            return {"type": "array", "items": resolve(node["items"])}
+        if "enum" in node:
+            return {"enum": list(node["enum"])}
+        return {"type": t}
+
+    return resolve(raw)
+
+
+def compile_schema(schema, vocab_size: int = 512,
+                   eos_id: int = 258) -> DFA:
+    """Compile a schema (spec dict or pydantic class) into a DFA."""
+    b = _Builder()
+    exits = b.compile_value(schema, [0])
+    n = len(b.rows)
+    trans = np.full((n, vocab_size), -1, np.int32)
+    for s, row in enumerate(b.rows):
+        for byte, t in row.items():
+            trans[s, byte] = t
+    accept = np.zeros((n,), bool)
+    for x in exits:
+        accept[x] = True
+    return DFA(trans, accept)
+
+
+_CACHE: Dict[int, DFA] = {}
+
+
+def compile_schema_cached(schema, vocab_size: int = 512) -> DFA:
+    key = id(schema) if isinstance(schema, type) else None
+    if key is not None and key in _CACHE:
+        return _CACHE[key]
+    dfa = compile_schema(schema, vocab_size)
+    if key is not None:
+        _CACHE[key] = dfa
+    return dfa

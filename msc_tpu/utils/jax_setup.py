@@ -1,0 +1,54 @@
+"""JAX runtime setup helpers."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+_warmup_started = False
+
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Turn on JAX's persistent compilation cache (first compile of the
+    kernel suite costs tens of seconds; the cache makes every later
+    process start warm)."""
+    import jax
+
+    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                       _DEFAULT_CACHE)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    warmup_device_transfer()
+
+
+def warmup_device_transfer():
+    """Absorb the tunnel's first device->host transfer stall off-thread.
+
+    Measured on the axon TPU tunnel: the FIRST d2h transfer of a process
+    stalls for 1-5 minutes regardless of payload size; every subsequent
+    transfer runs at full speed.  Issuing a 4-byte warmup transfer from a
+    daemon thread at startup overlaps the stall with compilation and data
+    loading, so the pipeline's real transfers are never the first one.
+    """
+    global _warmup_started
+    if _warmup_started:
+        return
+    _warmup_started = True
+
+    def _warm():
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            if jax.default_backend() == "cpu":
+                return
+            np.asarray(jnp.zeros((1,), jnp.float32))
+        except Exception:
+            pass
+
+    threading.Thread(target=_warm, daemon=True, name="msc-d2h-warmup").start()

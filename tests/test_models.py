@@ -1,0 +1,123 @@
+"""Model-layer tests: tokenizer, ViT, decoder prefill/decode-step
+consistency, paged-cache generate."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msc_tpu.config import VLMConfig
+from msc_tpu.models.tokenizer import (
+    ByteTokenizer, BOS_ID, EOS_ID, IMG_ID, PAD_ID,
+)
+from msc_tpu.models import decoder as dec
+from msc_tpu.models import vit as vit_mod
+from msc_tpu.models.vlm import VLM, init_vlm_params, make_cache_for, pad_prompt
+
+
+TINY = VLMConfig(
+    image_size=28, patch_size=14, vit_width=32, vit_depth=2, vit_heads=2,
+    vocab_size=512, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+    head_dim=16, mlp_hidden=128, max_seq_len=256, page_size=16,
+    dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_vlm():
+    params = init_vlm_params(jax.random.PRNGKey(0), TINY)
+    return VLM(TINY, params)
+
+
+def test_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    s = 'Hello {"json": 1.5} — unicode ✓'
+    assert tok.decode(tok.encode(s)) == s
+
+
+def test_chat_template_images():
+    tok = ByteTokenizer()
+    messages = [
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": [
+            {"type": "text", "text": "look:"},
+            {"type": "image"},
+            {"type": "image"},
+        ]},
+    ]
+    ids = tok.apply_chat_template(messages, num_image_tokens=4)
+    assert ids[0] == BOS_ID
+    assert ids.count(IMG_ID) == 8
+
+
+def test_vit_shapes(tiny_vlm):
+    imgs = jnp.zeros((3, 28, 28, 3), jnp.float32)
+    out = tiny_vlm.encode_images(imgs)
+    assert out.shape == (3, TINY.tokens_per_image, TINY.vit_width)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_prefill_decode_consistency(tiny_vlm):
+    """Teacher-forced prefill logits at position t must match stepping the
+    decoder token by token (paged cache correctness)."""
+    params = tiny_vlm.params["dec"]
+    rng = np.random.default_rng(0)
+    seq = [BOS_ID] + rng.integers(97, 122, size=30).tolist()
+    T = 32  # two pages
+
+    # full-prefill logits after the whole sequence
+    ids = np.full((1, T), PAD_ID, np.int32)
+    ids[0, : len(seq)] = seq
+    cache = make_cache_for(TINY, 1, T, 8)
+    logits_full, _ = dec.prefill(params, TINY, jnp.asarray(ids), None, cache,
+                                 PAD_ID, IMG_ID)
+
+    # prefill only the first 16 tokens, then decode-step the rest
+    ids2 = np.full((1, 16), PAD_ID, np.int32)
+    ids2[0, :16] = seq[:16]
+    cache2 = make_cache_for(TINY, 1, 16, 8)
+    logits_step, cache2 = dec.prefill(params, TINY, jnp.asarray(ids2), None,
+                                      cache2, PAD_ID, IMG_ID)
+    step = jax.jit(lambda p, t, c: dec.decode_step(p, TINY, t, c))
+    for t in seq[16:]:
+        logits_step, cache2 = step(params, jnp.asarray([t], jnp.int32), cache2)
+
+    a = np.asarray(logits_full)[0]
+    b = np.asarray(logits_step)[0]
+    # absolute tolerance scaled to the logit magnitude: the two paths use
+    # different contraction orders, so bit-exactness is not expected
+    tol = 0.02 * max(1.0, float(np.abs(a).max()))
+    np.testing.assert_allclose(a, b, rtol=0, atol=tol)
+    assert a.argmax() == b.argmax()
+
+
+def test_generate_shapes_and_eos(tiny_vlm):
+    tok = ByteTokenizer()
+    ids = pad_prompt(tok.pad_batch([tok.encode("describe the scene")]),
+                     TINY.page_size)
+    cache = make_cache_for(TINY, 1, ids.shape[1], 32)
+    result, _ = tiny_vlm.generate(
+        jnp.asarray(ids), None, cache, jax.random.PRNGKey(1),
+        max_new_tokens=32, temperature=0.0)
+    toks = np.asarray(result.tokens)
+    assert toks.shape == (1, 32)
+    n = int(result.lengths[0])
+    # tokens after the generated length are PAD
+    assert (toks[0, n:] == PAD_ID).all()
+
+
+def test_generate_with_images(tiny_vlm):
+    tok = ByteTokenizer()
+    messages = [{"role": "user", "content": [
+        {"type": "image"}, {"type": "text", "text": "what is this?"}]}]
+    ids_list = tok.apply_chat_template(messages,
+                                       num_image_tokens=TINY.tokens_per_image)
+    ids = pad_prompt(tok.pad_batch([ids_list]), TINY.page_size)
+    imgs = jnp.asarray(np.random.default_rng(0)
+                       .uniform(-1, 1, (1, 28, 28, 3)).astype(np.float32))
+    emb = tiny_vlm.encode_images(imgs)
+    cache = make_cache_for(TINY, 1, ids.shape[1], 32)
+    result, _ = tiny_vlm.generate(
+        jnp.asarray(ids), emb, cache, jax.random.PRNGKey(2),
+        max_new_tokens=8, temperature=0.0)
+    assert np.asarray(result.tokens).shape == (1, 8)

@@ -1,0 +1,203 @@
+"""End-to-end pipeline tests on the analytic + fake backends (hermetic)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from msc_tpu.config import ModalityConfig, ModelConfig, LiDARConfig
+from msc_tpu.pipeline import SemanticCaptioningPipeline
+from msc_tpu.serving.client import FakeBackend
+from msc_tpu.serving.analytic import AnalyticBackend
+from msc_tpu.data.mqa import count_objects
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = ModelConfig()
+    cfg.backend.kind = "analytic"
+    return SemanticCaptioningPipeline(cfg, backend=AnalyticBackend(),
+                                      verbose=False)
+
+
+@pytest.fixture(scope="module")
+def full_result(pipeline, mock_sample):
+    return pipeline.process_scene(
+        images=mock_sample["images"],
+        camera_names=mock_sample["camera_names"],
+        point_cloud=mock_sample["point_cloud"],
+        annotations=mock_sample["annotations"],
+        modality_config=ModalityConfig(),
+    )
+
+
+def test_result_contract(full_result):
+    """Result dict shape parity with `src/pipeline.py:106-186`."""
+    assert set(full_result) == {"pipeline_stages", "structured_caption",
+                                "refinement_metadata"}
+    stages = full_result["pipeline_stages"]
+    for key in ("layer1_content_transformation", "layer2_seed_caption",
+                "layer3_refinement", "layer4_caption"):
+        assert key in stages
+    # full modality: camera + lidar + scene_graph + cross_modal
+    agents = [o["agent"] for o in stages["layer1_content_transformation"]]
+    assert agents == ["CameraAgent", "LiDARAgent", "SceneGraphAgent",
+                      "CrossModalAgent"]
+
+
+def test_structured_caption_schema(full_result):
+    """Byte-compatible StructuredCaption keys incl. full_caption injection
+    (`caption_agent.py:87`)."""
+    cap = full_result["structured_caption"]
+    assert set(cap) == {"scene_summary", "ego_vehicle", "objects",
+                        "road_structure", "environment", "safety_critical",
+                        "full_caption"}
+    assert set(cap["ego_vehicle"]) == {"action", "lane_position",
+                                       "speed_estimate"}
+    assert set(cap["road_structure"]) == {"type", "lanes", "markings"}
+    assert set(cap["environment"]) == {"lighting", "weather", "location_type"}
+    for obj in cap["objects"]:
+        assert set(obj) == {"category", "position", "state", "attributes",
+                            "visibility"}
+    json.dumps(cap)  # serializable
+
+
+def test_annotations_reach_caption(full_result, mock_sample):
+    """With annotations enabled, every annotated category must appear in
+    the final caption objects (information-flow check)."""
+    cap = full_result["structured_caption"]
+    gt = count_objects(mock_sample["annotations"])
+    got = {}
+    from msc_tpu.eval.synonyms import normalize_object_name
+
+    for o in cap["objects"]:
+        k = normalize_object_name(o["category"])
+        got[k] = got.get(k, 0) + 1
+    for cat, cnt in gt.items():
+        assert got.get(cat, 0) >= cnt, (cat, gt, got)
+
+
+def test_refinement_metadata(full_result):
+    meta = full_result["refinement_metadata"]
+    assert meta["converged"] is True  # analytic suggester converges at iter 2
+    assert 1 <= meta["iterations"] <= 3
+
+
+def test_mqa_answer_counts(pipeline, full_result, mock_sample):
+    gt = count_objects(mock_sample["annotations"])
+    cat, cnt = sorted(gt.items())[0]
+    q = f"How many <obj>{cat}s</obj> are in the scene?"
+    answer = pipeline.answer_mqa(q, full_result)
+    assert f"<cnt>{cnt}</cnt>" in answer, (q, answer, gt)
+
+
+def test_camera_only_ablation(pipeline, mock_sample):
+    """Camera-only config must NOT leak annotation knowledge into the
+    caption (modality dropout information topology)."""
+    result = pipeline.process_scene(
+        images=mock_sample["images"],
+        camera_names=mock_sample["camera_names"],
+        point_cloud=mock_sample["point_cloud"],
+        annotations=mock_sample["annotations"],
+        modality_config=ModalityConfig(use_cameras=True, use_lidar=False,
+                                       use_annotations=False),
+    )
+    agents = [o["agent"] for o in
+              result["pipeline_stages"]["layer1_content_transformation"]]
+    assert agents == ["CameraAgent"]  # no cross-modal with 1 modality
+    assert result["structured_caption"]["objects"] == []
+
+
+def test_camera_subset(pipeline, mock_sample):
+    result = pipeline.process_scene(
+        images=mock_sample["images"],
+        camera_names=mock_sample["camera_names"],
+        modality_config=ModalityConfig(use_cameras=True, use_lidar=False,
+                                       use_annotations=False,
+                                       camera_indices=[0, 3]),
+    )
+    cam_out = result["pipeline_stages"]["layer1_content_transformation"][0]
+    assert cam_out["camera_views"] == ["CAM_FRONT", "CAM_BACK"]
+
+
+def test_lidar_only_detects_objects(pipeline, mock_sample):
+    """LiDAR-only config: clustering + geometric classification must put
+    detections into the caption without annotations."""
+    result = pipeline.process_scene(
+        images=mock_sample["images"],
+        camera_names=mock_sample["camera_names"],
+        point_cloud=mock_sample["point_cloud"],
+        annotations=mock_sample["annotations"],
+        modality_config=ModalityConfig(use_cameras=False, use_lidar=True,
+                                       use_annotations=False),
+    )
+    lidar_out = result["pipeline_stages"]["layer1_content_transformation"][0]
+    assert lidar_out["agent"] == "LiDARAgent"
+    assert lidar_out["bev_metadata"]["num_objects"] > 0
+    assert len(result["structured_caption"]["objects"]) > 0
+
+
+def test_pipeline_with_fake_backend(mock_sample):
+    """The canned-response double drives the full pipeline too (retry and
+    parse-fallback paths)."""
+    responses = {
+        "camera_describe": "CAM_FRONT: a road.",
+        "cluster_classify": {"classifications": []},
+        "lidar_interpret": "Sparse scene.",
+        "scene_graph": lambda m, t: json.dumps(_minimal_graph()),
+        "crossmodal": "All agree.",
+        "merge": "A scene.",
+        "suggest": {"has_suggestions": False, "suggestions": [],
+                    "reasoning": "fine"},
+        "edit": {"caption": "x", "changes_made": []},
+        "structure_caption": lambda m, t: json.dumps(_minimal_caption()),
+        "mqa_answer": "There are <target><cnt>0</cnt> <obj>cars</obj></target>.",
+        "*": "ok",
+    }
+    backend = FakeBackend(responses)
+    pipe = SemanticCaptioningPipeline(ModelConfig(), backend=backend,
+                                      verbose=False)
+    result = pipe.process_scene(
+        images=mock_sample["images"][:2],
+        camera_names=mock_sample["camera_names"][:2],
+        point_cloud=mock_sample["point_cloud"],
+        annotations=mock_sample["annotations"],
+    )
+    assert result["structured_caption"]["scene_summary"]
+    tasks = [c["task"] for c in backend.calls]
+    assert "structure_caption" in tasks
+    # seed focus calls present for all five areas
+    assert sum(1 for t in tasks if t and t.startswith("seed:")) == 5
+
+
+def _minimal_graph():
+    return {
+        "scene_summary": "s", "environment": {
+            "lighting": "day", "weather": "clear",
+            "visibility_overall": "good", "location_type": "urban"},
+        "road_structure": {"road_type": "urban", "lanes": {
+            "lane_count": 2, "lane_type": "urban",
+            "ego_lane_position": "center", "lane_markings": []},
+            "road_elements": [], "surface_condition": "dry"},
+        "traffic_participants": {"vehicles": [], "cyclists": [],
+                                 "vulnerable_road_users": []},
+        "sidewalk_areas": {"has_sidewalk": False, "pedestrians": [],
+                           "static_objects": [], "location": "none"},
+        "static_infrastructure": {"barriers": [], "traffic_cones": [],
+                                  "construction": [], "other": []},
+        "spatial_zones": [], "safety_critical_elements": [],
+        "total_objects": 0,
+    }
+
+
+def _minimal_caption():
+    return {
+        "scene_summary": "s",
+        "ego_vehicle": {"action": "driving", "lane_position": "center",
+                        "speed_estimate": "moderate"},
+        "objects": [],
+        "road_structure": {"type": "urban", "lanes": "2", "markings": []},
+        "environment": {"lighting": "day", "weather": "clear",
+                        "location_type": "urban"},
+        "safety_critical": [],
+    }

@@ -1,0 +1,204 @@
+"""Serving-layer tests: schema DFA, constrained generation, engine,
+call_llm seam, analytic + fake backends."""
+
+import json
+
+import numpy as np
+import jax
+import pytest
+from pydantic import BaseModel, Field
+
+from msc_tpu.config import ModelConfig, VLMConfig
+from msc_tpu.serving import structured
+from msc_tpu.serving.client import (
+    ChatClient, FakeBackend, VLMBackend, make_backend,
+)
+from msc_tpu.serving.analytic import (
+    AnalyticBackend, answer_mqa_from_caption, classify_cluster_geometry,
+)
+from msc_tpu.serving.engine import InferenceEngine, Request
+
+from tests.test_models import TINY
+
+
+class Inner(BaseModel):
+    name: str = Field(description="a name")
+    score: float = Field(description="a score")
+
+
+class Sample(BaseModel):
+    title: str
+    count: int
+    ok: bool
+    tags: list = Field(default_factory=list)
+    inner: Inner
+
+
+class SampleStrict(BaseModel):
+    title: str
+    count: int
+
+
+def walk(dfa: structured.DFA, text: str) -> bool:
+    """Host-side DFA acceptance check."""
+    s = 0
+    for b in text.encode():
+        nxt = dfa.trans[s, b]
+        if nxt < 0:
+            return False
+        s = int(nxt)
+    return bool(dfa.accept[s])
+
+
+def test_dfa_accepts_valid_json():
+    dfa = structured.compile_schema(SampleStrict)
+    assert walk(dfa, '{"title":"hello world","count":42}')
+    assert walk(dfa, '{"title":"","count":-7}')
+
+
+def test_dfa_rejects_invalid():
+    dfa = structured.compile_schema(SampleStrict)
+    assert not walk(dfa, '{"count":42,"title":"x"}')   # wrong field order
+    assert not walk(dfa, '{"title":"x","count":}')      # missing value
+    assert not walk(dfa, '{"title":"x","count":4')      # unterminated
+    assert not walk(dfa, '{"title": "x","count":4}')    # whitespace
+
+
+def test_dfa_nested_and_arrays():
+    spec = {"type": "object", "properties": {
+        "items": {"type": "array", "items": {"type": "string"}},
+        "flag": {"type": "boolean"},
+    }}
+    dfa = structured.compile_schema(spec)
+    assert walk(dfa, '{"items":[],"flag":true}')
+    assert walk(dfa, '{"items":["a","b","c"],"flag":false}')
+    assert not walk(dfa, '{"items":["a",],"flag":true}')
+
+
+def test_dfa_enum():
+    spec = {"type": "object", "properties": {
+        "dir": {"enum": ["front", "front left", "back"]}}}
+    dfa = structured.compile_schema(spec)
+    assert walk(dfa, '{"dir":"front"}')
+    assert walk(dfa, '{"dir":"front left"}')
+    assert not walk(dfa, '{"dir":"left"}')
+
+
+def test_dfa_bounded_strings_terminate():
+    dfa = structured.compile_schema({"type": "object", "properties": {
+        "s": {"type": "string"}}})
+    assert not walk(dfa, '{"s":"' + "x" * 100 + '"}')
+    assert walk(dfa, '{"s":"' + "x" * 48 + '"}')
+
+
+def test_reference_schemas_compile():
+    """The four reference structured-output schemas must all compile
+    (SURVEY.md build step 2)."""
+    from msc_tpu.agents.schemas import (
+        StructuredCaption, HierarchicalSceneGraph, SuggestionResponse,
+        RefinedFeaturesResponse,
+    )
+    for model in (StructuredCaption, SuggestionResponse,
+                  RefinedFeaturesResponse, HierarchicalSceneGraph):
+        dfa = structured.compile_schema_cached(model)
+        assert dfa.num_states > 10
+
+
+def test_constrained_generation_valid_json():
+    """An untrained tiny VLM under the DFA must still emit parseable,
+    schema-conformant JSON."""
+    engine = InferenceEngine(TINY, seed=0, num_pages=64,
+                             max_pages_per_seq=32)
+    req = Request(messages=[{"role": "user", "content": "give me json"}],
+                  schema=SampleStrict, max_new_tokens=128)
+    out = engine.generate_batch([req])[0]
+    parsed = SampleStrict.model_validate_json(out)
+    assert isinstance(parsed.count, int)
+
+
+def test_engine_free_text_batch():
+    engine = InferenceEngine(TINY, seed=0, num_pages=64,
+                             max_pages_per_seq=32)
+    reqs = [Request(messages=[{"role": "user", "content": f"hello {i}"}],
+                    max_new_tokens=8) for i in range(3)]
+    outs = engine.generate_batch(reqs)
+    assert len(outs) == 3
+    assert engine.allocator.used == 0  # pages released
+
+
+def test_client_retry_semantics():
+    backend = FakeBackend({"*": "fine"}, fail_first_n=2)
+    client = ChatClient(backend)
+    assert client.call_llm([{"role": "user", "content": "x"}]) == "fine"
+    assert len(backend.calls) == 3
+
+
+def test_client_structured_parsing():
+    backend = FakeBackend({"*": {"title": "t", "count": 3}})
+    client = ChatClient(backend)
+    out = client.call_llm([{"role": "user", "content": "x"}],
+                          response_format=SampleStrict)
+    assert out.title == "t" and out.count == 3
+
+
+def test_client_batch_grouping():
+    backend = FakeBackend({"*": '{"title":"t","count":1}'})
+    client = ChatClient(backend)
+    calls = [
+        dict(messages=[{"role": "user", "content": "a"}]),
+        dict(messages=[{"role": "user", "content": "b"}],
+             response_format=SampleStrict),
+    ]
+    a, b = client.call_llm_batch(calls)
+    assert a == '{"title":"t","count":1}'
+    assert b.count == 1
+
+
+# -- analytic backend ---------------------------------------------------
+
+def test_analytic_cluster_geometry():
+    assert classify_cluster_geometry((4.4, 1.9, 1.5), 300)["category"] == "car"
+    assert classify_cluster_geometry((0.5, 0.5, 1.7), 80)["category"] == "pedestrian"
+    assert classify_cluster_geometry((10.8, 2.8, 3.3), 900)["category"] == "bus"
+    assert classify_cluster_geometry((0.4, 0.4, 0.7), 30)["category"] == "traffic_cone"
+
+
+def test_analytic_mqa_counting():
+    caption = {"objects": [
+        {"category": "car", "position": "front, 10.0m"},
+        {"category": "car", "position": "front, 22.0m"},
+        {"category": "car", "position": "back, 9.0m"},
+        {"category": "adult pedestrian", "position": "front left, 5.0m"},
+    ]}
+    a = answer_mqa_from_caption(
+        "How many <obj>cars</obj> are in <cam>front</cam>?", caption)
+    assert "<cnt>2</cnt>" in a
+    a = answer_mqa_from_caption(
+        "How many <obj>cars</obj> are in the scene?", caption)
+    assert "<cnt>3</cnt>" in a
+    a = answer_mqa_from_caption(
+        "Is there a <obj>pedestrian</obj> in <cam>front left</cam>?", caption)
+    assert a.startswith("<ans>yes</ans>")
+    a = answer_mqa_from_caption(
+        "Is there a <obj>bus</obj> in <cam>front</cam>?", caption)
+    assert a.startswith("<ans>no</ans>")
+
+
+def test_analytic_suggest_converges():
+    b = AnalyticBackend()
+    r1 = json.loads(b.complete(
+        [{"role": "user", "content": "Review this caption (Iteration 1):"}],
+        0.0, task="suggest"))
+    r2 = json.loads(b.complete(
+        [{"role": "user", "content": "Review this caption (Iteration 2):"}],
+        0.0, task="suggest"))
+    assert r1["has_suggestions"] is True
+    assert r2["has_suggestions"] is False
+
+
+def test_make_backend_kinds():
+    cfg = ModelConfig()
+    cfg.backend.kind = "fake"
+    assert isinstance(make_backend(cfg), FakeBackend)
+    cfg.backend.kind = "analytic"
+    assert isinstance(make_backend(cfg), AnalyticBackend)
