@@ -1,0 +1,81 @@
+"""Benchmark: scenes/sec/chip for the full 6-cam+LiDAR -> JSON caption
+pipeline on the on-TPU VLM backend (BASELINE.json headline metric).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json target of 2.0
+scenes/sec/chip (the reference publishes no throughput numbers — its
+pipeline is ~20 serialized Azure HTTPS calls per scene, minutes/scene).
+
+Method: long-lived process (production serving shape); WARMUP scenes
+absorb compilation and the tunnel's one-time d2h stall; steady state is
+timed over TIMED distinct mock scenes, full modality (6 cameras + LiDAR +
+annotations), including all model calls, kernels, and MQA-ready caption
+generation.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WARMUP = int(os.environ.get("MSC_BENCH_WARMUP", "2"))
+TIMED = int(os.environ.get("MSC_BENCH_SCENES", "4"))
+BACKEND = os.environ.get("MSC_BENCH_BACKEND", "vlm")
+TARGET = 2.0  # scenes/sec/chip, BASELINE.json
+
+
+def main():
+    from msc_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from msc_tpu.config import Config, ModalityConfig
+    from msc_tpu.data.nuscenes import MockNuScenesLoader
+    from msc_tpu.pipeline import SemanticCaptioningPipeline
+
+    cfg = Config.from_env()
+    cfg.model.backend.kind = BACKEND
+
+    loader = MockNuScenesLoader(num_scenes=WARMUP + TIMED,
+                                samples_per_scene=1)
+    pipeline = SemanticCaptioningPipeline(cfg.model, cfg.lidar, verbose=False)
+    modality = ModalityConfig()  # full: 6 cams + lidar + annotations
+
+    def run_scene(idx: int):
+        sample = loader.get_sample_by_scene_index(idx, 0)
+        result = pipeline.process_scene(
+            images=sample["images"],
+            camera_names=sample["camera_names"],
+            point_cloud=sample["point_cloud"],
+            annotations=sample["annotations"],
+            modality_config=modality,
+        )
+        assert "structured_caption" in result
+        return result
+
+    for i in range(WARMUP):
+        run_scene(i)
+
+    pipeline.timer.reset()
+    t0 = time.perf_counter()
+    for i in range(TIMED):
+        run_scene(WARMUP + i)
+    elapsed = time.perf_counter() - t0
+
+    scenes_per_sec = TIMED / elapsed
+    print(json.dumps({
+        "metric": "scenes/sec/chip (6-cam+LiDAR->JSON caption, full "
+                  f"pipeline, {BACKEND} backend)",
+        "value": round(scenes_per_sec, 4),
+        "unit": "scenes/sec/chip",
+        "vs_baseline": round(scenes_per_sec / TARGET, 4),
+    }))
+    print(pipeline.timer.report(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -218,14 +218,17 @@ class LiDARAgent(BaseAgent):
             })
 
         # batched multi-view rendering for ALL clusters at once; the grids
-        # stay on device (they only feed the on-TPU VLM)
-        pts_buf, msk_buf = gather_cluster_points(pc_np, point_cluster, k)
+        # stay on device (they only feed the on-TPU VLM).  K pads to a
+        # multiple of the classify batch so the splat/tile/ViT programs
+        # keep ONE compiled shape regardless of scene content.
+        batch_size = 10  # parity: <=10 clusters per model call
+        k_pad = batch_size * (-(-k // batch_size))
+        pts_buf, msk_buf = gather_cluster_points(pc_np, point_cluster, k_pad)
         grids = render_cluster_views(
             jnp.asarray(pts_buf), jnp.asarray(msk_buf),
             img_size=self.cfg.cluster_img_size)
 
         detected: List[DetectedObject] = []
-        batch_size = 10  # parity: <=10 clusters per model call
         for start in range(0, k, batch_size):
             batch_meta = metas[start:start + batch_size]
             tile = tile_cluster_grids_device(grids[start:start + batch_size])

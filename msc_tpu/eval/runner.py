@@ -200,6 +200,10 @@ def main():
     from msc_tpu.data.nuscenes import create_loader
     from msc_tpu.pipeline import SemanticCaptioningPipeline
 
+    from msc_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--test-mode", action="store_true", default=None)
     ap.add_argument("--num-scenes", type=int, default=None)

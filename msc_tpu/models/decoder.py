@@ -36,6 +36,25 @@ class KVCache(NamedTuple):
     lengths: jax.Array       # (B,) int32 tokens written per sequence
 
 
+class ContigCache(NamedTuple):
+    """Contiguous per-call KV cache (left-padded batch, uniform write
+    position).
+
+    The fast decode layout: every row writes at the same ``pos`` via
+    dynamic-update-slice, which XLA updates in place — unlike the paged
+    layout's vector-indexed scatters, which copy the whole pool per step
+    (measured ~5.5 ms/step at a 400 MB pool vs <1 ms contiguous).  RoPE is
+    relative, so left-padding keeps positions exact.  The paged layout
+    remains the allocator-level design for ragged continuous batching;
+    a Pallas in-place paged-attention kernel is the planned unification.
+    """
+
+    k: jax.Array      # (L, B, Tmax, KV, hd)
+    v: jax.Array      # (L, B, Tmax, KV, hd)
+    valid: jax.Array  # (B, Tmax) bool — attendable positions
+    pos: jax.Array    # scalar int32 — next write position (uniform)
+
+
 def init_decoder_params(key, cfg: VLMConfig) -> Dict:
     D = cfg.d_model
     H, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -198,6 +217,110 @@ def prefill(params: Dict, cfg: VLMConfig, ids: jax.Array,
                      preferred_element_type=jnp.float32)
     new_cache = KVCache(k_pages, v_pages, bt, lengths)
     return logits.astype(jnp.float32), new_cache
+
+
+def prefill_contig(params: Dict, cfg: VLMConfig, ids: jax.Array,
+                   img_embeds: jax.Array | None, t_max: int,
+                   pad_id: int, img_token_id: int,
+                   kv_dtype=None) -> Tuple[jax.Array, ContigCache]:
+    """Prefill into a contiguous cache.  ids: (B, T) LEFT-padded.
+
+    Returns (logits at the last column (B, vocab), cache with pos=T).
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    kv_dtype = kv_dtype or dtype
+    B, T = ids.shape
+    valid_prompt = ids != pad_id
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+
+    x = embed_tokens(params, ids, img_embeds, img_token_id, dtype)
+    mask = jnp.tril(jnp.ones((T, T), bool))[None] & valid_prompt[:, None, :]
+
+    L = cfg.n_layers
+    k_cache = jnp.zeros((L, B, t_max, cfg.n_kv_heads, cfg.head_dim), kv_dtype)
+    v_cache = jnp.zeros_like(k_cache)
+
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["ln1"])
+        q = jnp.dot(h, layer["wq"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        k = jnp.dot(h, layer["wk"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        v = jnp.dot(h, layer["wv"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
+                  cfg.rope_theta)
+        k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
+                  cfg.rope_theta)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        k_cache = k_cache.at[li, :, :T].set(k.astype(kv_dtype))
+        v_cache = v_cache.at[li, :, :T].set(v.astype(kv_dtype))
+        o = _attention_full(q, k, v, mask, dtype)
+        x = x + jnp.dot(o, layer["wo"].astype(dtype),
+                        preferred_element_type=jnp.float32).astype(dtype)
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+
+    x = _rmsnorm(x[:, -1], params["ln_f"])  # left-padded: last col is real
+    logits = jnp.dot(x, params["embed"].T.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    valid = jnp.zeros((B, t_max), bool).at[:, :T].set(valid_prompt)
+    cache = ContigCache(k_cache, v_cache, valid, jnp.int32(T))
+    return logits.astype(jnp.float32), cache
+
+
+def decode_step_contig(params: Dict, cfg: VLMConfig, tokens: jax.Array,
+                       cache: ContigCache) -> Tuple[jax.Array, ContigCache]:
+    """One decode step, contiguous layout: every row writes at cache.pos."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    B = tokens.shape[0]
+    Tmax = cache.k.shape[2]
+    pos = cache.pos
+
+    x = params["embed"].astype(dtype)[tokens][:, None, :]
+    k_cache, v_cache = cache.k, cache.v
+    valid = cache.valid.at[:, pos].set(True)
+    kv_mask = valid  # includes self at pos
+
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["ln1"])
+        q = jnp.dot(h, layer["wq"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        k = jnp.dot(h, layer["wk"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        v = jnp.dot(h, layer["wv"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        q = _rope(q.reshape(B, 1, cfg.n_heads, cfg.head_dim),
+                  pos[None, None], cfg.rope_theta)
+        k = _rope(k.reshape(B, 1, cfg.n_kv_heads, cfg.head_dim),
+                  pos[None, None], cfg.rope_theta)
+        v = v.reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
+
+        # uniform-position write -> dynamic-update-slice, in place
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[None].astype(k_cache.dtype), (li, 0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[None].astype(v_cache.dtype), (li, 0, pos, 0, 0))
+
+        KV, G, hd = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads, cfg.head_dim
+        qg = q.reshape(B, KV, G, hd)
+        ks = k_cache[li].astype(dtype)
+        vs = v_cache[li].astype(dtype)
+        att = jnp.einsum("bkgd,bskd->bkgs", qg, ks,
+                         preferred_element_type=jnp.float32) * hd ** -0.5
+        att = jnp.where(kv_mask[:, None, None], att, -1e30)
+        att = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("bkgs,bskd->bkgd", att.astype(dtype), vs,
+                       preferred_element_type=jnp.float32)
+        o = o.reshape(B, 1, cfg.n_heads * hd).astype(dtype)
+        x = x + jnp.dot(o, layer["wo"].astype(dtype),
+                        preferred_element_type=jnp.float32).astype(dtype)
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+
+    x = _rmsnorm(x, params["ln_f"])[:, 0]
+    logits = jnp.dot(x, params["embed"].T.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32), ContigCache(k_cache, v_cache, valid,
+                                                   pos + 1)
 
 
 def decode_step(params: Dict, cfg: VLMConfig, tokens: jax.Array,

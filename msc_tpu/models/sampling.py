@@ -22,16 +22,24 @@ class FSM(NamedTuple):
     trans: (S, V) int32 — next state, or -1 if the byte is not allowed.
     accept: (S,) bool — states where the JSON document is complete
             (EOS becomes legal).
+    dist: (S,) int32 — shortest byte distance from each state to an
+            accepting state (length prior; see structured.DFA).
     """
 
     trans: jax.Array
     accept: jax.Array
+    dist: jax.Array
 
 
 def sample_token(logits: jax.Array, temperature: float, rng: jax.Array,
                  fsm: Optional[FSM], fsm_state: Optional[jax.Array],
-                 eos_id: int):
+                 eos_id: int, length_bias: float = 0.0):
     """Sample next tokens (B,) from logits (B, V), applying DFA masks.
+
+    ``length_bias`` > 0 adds -length_bias * dist(next_state) to each
+    allowed token's logit — a shortest-valid-completion prior that keeps
+    constrained decodes terse (essential for un/under-trained models;
+    set 0 for a trained model's natural distribution).
 
     Returns (tokens, next_fsm_state).
     """
@@ -40,6 +48,11 @@ def sample_token(logits: jax.Array, temperature: float, rng: jax.Array,
         allowed = row >= 0
         allowed = allowed.at[:, eos_id].set(
             allowed[:, eos_id] | fsm.accept[fsm_state])
+        if length_bias > 0.0:
+            nxt_dist = fsm.dist[jnp.maximum(row, 0)].astype(jnp.float32)
+            # EOS from an accept state is distance 0
+            nxt_dist = nxt_dist.at[:, eos_id].set(0.0)
+            logits = logits - length_bias * nxt_dist
         logits = jnp.where(allowed, logits, -jnp.inf)
 
     if temperature <= 0.0:

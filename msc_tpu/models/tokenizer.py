@@ -68,11 +68,18 @@ class ByteTokenizer:
         ids.append(ASSISTANT_ID)
         return ids
 
-    def pad_batch(self, seqs: List[List[int]], pad_to: int | None = None) -> np.ndarray:
+    def pad_batch(self, seqs: List[List[int]], pad_to: int | None = None,
+                  left: bool = False) -> np.ndarray:
+        """Pad a ragged batch.  ``left=True`` pads at the front (the
+        contiguous-KV decode layout; exact under RoPE since positions are
+        relative)."""
         max_len = max(len(s) for s in seqs)
         if pad_to is not None:
             max_len = max(max_len, pad_to)
         out = np.full((len(seqs), max_len), PAD_ID, dtype=np.int32)
         for i, s in enumerate(seqs):
-            out[i, : len(s)] = s
+            if left:
+                out[i, max_len - len(s):] = s
+            else:
+                out[i, : len(s)] = s
         return out

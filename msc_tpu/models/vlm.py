@@ -45,61 +45,149 @@ class VLM:
         self.params = params
         self._encode = jax.jit(
             lambda p, imgs: vit_mod.vit_encode(p, imgs, cfg))
+        # params passed as a real argument (NOT closure/static: that would
+        # bake 10^7 weights into the HLO as constants and explode compile
+        # time); the cache is donated so the paged pools update in place.
+        self._generate_fn = jax.jit(
+            functools.partial(_generate_impl, cfg),
+            static_argnames=("max_new_tokens", "temperature", "use_fsm",
+                             "length_bias"),
+            donate_argnames=("cache",),
+        )
+        self._generate_contig_fn = jax.jit(
+            functools.partial(_generate_contig_impl, cfg),
+            static_argnames=("t_max", "max_new_tokens", "temperature",
+                             "use_fsm", "length_bias"),
+        )
 
     def encode_images(self, images: jax.Array) -> jax.Array:
         """(N, S, S, 3) float -> (N, tokens_per_image, vit_width)."""
         return self._encode(self.params["vit"], images)
 
-    @functools.partial(jax.jit, static_argnames=("self", "max_new_tokens",
-                                                 "temperature", "use_fsm"))
     def generate(self, ids: jax.Array, img_embeds: Optional[jax.Array],
                  cache: dec.KVCache, rng: jax.Array,
                  max_new_tokens: int = 128, temperature: float = 0.0,
                  use_fsm: bool = False,
                  fsm_trans: Optional[jax.Array] = None,
-                 fsm_accept: Optional[jax.Array] = None) -> Tuple[GenerateResult, dec.KVCache]:
+                 fsm_accept: Optional[jax.Array] = None,
+                 fsm_dist: Optional[jax.Array] = None,
+                 length_bias: float = 0.0) -> Tuple[GenerateResult, dec.KVCache]:
         """Prefill + autoregressive decode.
 
         ids: (B, T) right-padded prompt, T multiple of page_size.
         img_embeds: (B, N_img, vit_width) or None.
         cache: pre-allocated KVCache whose block tables cover
-               T + max_new_tokens positions.
+               T + max_new_tokens positions.  The cache is DONATED.
         """
-        cfg = self.cfg
-        params = self.params["dec"]
-        B = ids.shape[0]
-        fsm = FSM(fsm_trans, fsm_accept) if use_fsm else None
+        return self._generate_fn(
+            self.params, ids, img_embeds, cache, rng,
+            fsm_trans, fsm_accept, fsm_dist,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            use_fsm=use_fsm, length_bias=length_bias)
 
-        logits, cache = dec.prefill(params, cfg, ids, img_embeds, cache,
-                                    PAD_ID, IMG_ID)
 
-        out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
-        fsm_state = jnp.zeros((B,), jnp.int32)
-        done = jnp.zeros((B,), bool)
+    def generate_contig(self, ids: jax.Array, img_embeds: Optional[jax.Array],
+                        rng: jax.Array, t_max: int,
+                        max_new_tokens: int = 128, temperature: float = 0.0,
+                        use_fsm: bool = False,
+                        fsm_trans: Optional[jax.Array] = None,
+                        fsm_accept: Optional[jax.Array] = None,
+                        fsm_dist: Optional[jax.Array] = None,
+                        length_bias: float = 0.0) -> GenerateResult:
+        """Prefill + decode on the contiguous fast path.
 
-        def cond(state):
-            i, _, _, _, done, _, _ = state
-            return (i < max_new_tokens) & ~jnp.all(done)
+        ids: (B, T) LEFT-padded prompt.  t_max >= T + max_new_tokens.
+        """
+        return self._generate_contig_fn(
+            self.params, ids, img_embeds, rng,
+            fsm_trans, fsm_accept, fsm_dist,
+            t_max=t_max, max_new_tokens=max_new_tokens,
+            temperature=temperature, use_fsm=use_fsm,
+            length_bias=length_bias)
 
-        def body(state):
-            i, logits, cache, out, done, fsm_state, rng = state
-            rng, sub = jax.random.split(rng)
-            tok, fsm_state = sample_token(
-                logits, temperature, sub, fsm, fsm_state, EOS_ID)
-            tok = jnp.where(done, PAD_ID, tok)
-            now_done = done | (tok == EOS_ID)
-            out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))
-            # advance: feed sampled token (EOS rows keep stepping PAD but
-            # are masked out of the output; cheaper than compaction)
-            step_tok = jnp.where(now_done, jnp.int32(PAD_ID), tok)
-            logits, cache = dec.decode_step(params, cfg, step_tok, cache)
-            return i + 1, logits, cache, out, now_done, fsm_state, rng
 
-        i, logits, cache, out, done, fsm_state, rng = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), logits, cache, out, done, fsm_state, rng))
+def _generate_contig_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
+                          img_embeds: Optional[jax.Array], rng: jax.Array,
+                          fsm_trans, fsm_accept, fsm_dist,
+                          *, t_max: int, max_new_tokens: int,
+                          temperature: float, use_fsm: bool,
+                          length_bias: float) -> GenerateResult:
+    dparams = params["dec"]
+    B = ids.shape[0]
+    fsm = FSM(fsm_trans, fsm_accept, fsm_dist) if use_fsm else None
 
-        lengths = (out != PAD_ID).sum(axis=1).astype(jnp.int32)
-        return GenerateResult(out, lengths), cache
+    logits, cache = dec.prefill_contig(dparams, cfg, ids, img_embeds, t_max,
+                                       PAD_ID, IMG_ID)
+
+    out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
+    fsm_state = jnp.zeros((B,), jnp.int32)
+    done = jnp.zeros((B,), bool)
+
+    def cond(state):
+        i, _, _, _, done, _, _ = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, logits, cache, out, done, fsm_state, rng = state
+        rng, sub = jax.random.split(rng)
+        tok, fsm_state = sample_token(
+            logits, temperature, sub, fsm, fsm_state, EOS_ID,
+            length_bias=length_bias)
+        tok = jnp.where(done, PAD_ID, tok)
+        now_done = done | (tok == EOS_ID)
+        out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))
+        step_tok = jnp.where(now_done, jnp.int32(PAD_ID), tok)
+        logits, cache = dec.decode_step_contig(dparams, cfg, step_tok, cache)
+        return i + 1, logits, cache, out, now_done, fsm_state, rng
+
+    i, logits, cache, out, done, fsm_state, rng = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), logits, cache, out, done, fsm_state, rng))
+
+    lengths = (out != PAD_ID).sum(axis=1).astype(jnp.int32)
+    return GenerateResult(out, lengths)
+
+
+def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
+                   img_embeds: Optional[jax.Array], cache: dec.KVCache,
+                   rng: jax.Array,
+                   fsm_trans, fsm_accept, fsm_dist,
+                   *, max_new_tokens: int, temperature: float,
+                   use_fsm: bool, length_bias: float):
+    dparams = params["dec"]
+    B = ids.shape[0]
+    fsm = FSM(fsm_trans, fsm_accept, fsm_dist) if use_fsm else None
+
+    logits, cache = dec.prefill(dparams, cfg, ids, img_embeds, cache,
+                                PAD_ID, IMG_ID)
+
+    out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
+    fsm_state = jnp.zeros((B,), jnp.int32)
+    done = jnp.zeros((B,), bool)
+
+    def cond(state):
+        i, _, _, _, done, _, _ = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, logits, cache, out, done, fsm_state, rng = state
+        rng, sub = jax.random.split(rng)
+        tok, fsm_state = sample_token(
+            logits, temperature, sub, fsm, fsm_state, EOS_ID,
+            length_bias=length_bias)
+        tok = jnp.where(done, PAD_ID, tok)
+        now_done = done | (tok == EOS_ID)
+        out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))
+        # advance: feed sampled token (EOS rows keep stepping PAD but
+        # are masked out of the output; cheaper than compaction)
+        step_tok = jnp.where(now_done, jnp.int32(PAD_ID), tok)
+        logits, cache = dec.decode_step(dparams, cfg, step_tok, cache)
+        return i + 1, logits, cache, out, now_done, fsm_state, rng
+
+    i, logits, cache, out, done, fsm_state, rng = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), logits, cache, out, done, fsm_state, rng))
+
+    lengths = (out != PAD_ID).sum(axis=1).astype(jnp.int32)
+    return GenerateResult(out, lengths), cache
 
 
 def make_cache_for(cfg: VLMConfig, batch: int, prompt_len: int,

@@ -185,6 +185,10 @@ class AnalyticBackend(Backend):
             return self._structure_caption(text)
         if task == "mqa_answer":
             return self._mqa(text)
+        if task == "baseline_caption":
+            return self._baseline_caption(text)
+        if task == "baseline_answer":
+            return self._baseline_answer(text)
         # default: echo a compact acknowledgment of the prompt
         return "Scene analysis: " + text[:200]
 
@@ -463,6 +467,52 @@ class AnalyticBackend(Backend):
                 for o in close] or ["no objects within 10m"],
         }
         return json.dumps(caption)
+
+    def _baseline_caption(self, text: str) -> str:
+        """Prose caption from the stats the baseline prompt carries; the
+        per-region annotation count lines are restated verbatim so the
+        caption-only answering step has the same information an LLM's
+        caption would."""
+        lines = ["A driving scene captured by the surround cameras."]
+        lidar = re.search(r"LiDAR statistics: .*", text)
+        if lidar:
+            lines.append(lidar.group(0))
+        counts = re.findall(r"- (\d+) ([a-z ]+?) in (front left|front right|"
+                            r"back left|back right|front|back)", text)
+        for cnt, name, region in counts:
+            plural = name if name.endswith("s") or int(cnt) == 1 else name + "s"
+            lines.append(f"There are {cnt} {plural} in the {region}.")
+        return "\n".join(lines)
+
+    def _baseline_answer(self, text: str) -> str:
+        """Answer a question from the prose caption's count sentences."""
+        q = re.search(r"Question:\s*(.+)", text)
+        question = q.group(1).strip() if q else text
+        cap = re.search(r"Scene caption:\s*\n(.*?)\n\nProvide", text, re.DOTALL)
+        caption = cap.group(1) if cap else text
+        objs = re.findall(r"<obj>(.*?)</obj>", question, re.IGNORECASE)
+        cams = re.findall(r"<cam>(.*?)</cam>", question, re.IGNORECASE)
+        target_obj = objs[0].strip() if objs else None
+        target_cam = normalize_camera(cams[0]) if cams else None
+
+        count = 0
+        if target_obj is not None:
+            want = normalize_object_name(target_obj)
+            for m in re.finditer(r"There are (\d+) ([a-z ]+?) in the "
+                                 r"(front left|front right|back left|"
+                                 r"back right|front|back)\.", caption):
+                if normalize_object_name(m.group(2)) != want:
+                    continue
+                if target_cam is not None and m.group(3) != target_cam:
+                    continue
+                count += int(m.group(1))
+        obj_word = target_obj if target_obj else "objects"
+        target = f"<target><cnt>{count}</cnt> <obj>{obj_word}</obj></target>"
+        if re.search(r"\bis there\b|\bare there any\b", question,
+                     re.IGNORECASE):
+            yn = "yes" if count > 0 else "no"
+            return f"<ans>{yn}</ans>, there are {target}."
+        return f"There are {target}."
 
     def _mqa(self, text: str) -> str:
         q = re.search(r"Question:\s*(.+)", text)

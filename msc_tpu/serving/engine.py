@@ -67,8 +67,15 @@ _PROMPT_BUCKETS = (256, 512, 1024, 2048)
 class InferenceEngine:
     def __init__(self, cfg: VLMConfig, params: Optional[dict] = None,
                  seed: int = 0, num_pages: int = 2048,
-                 max_pages_per_seq: int = 24):
+                 max_pages_per_seq: int = 24, json_length_bias: float = 3.0,
+                 kv_layout: str = "contiguous"):
+        """kv_layout: "contiguous" (fast path: left-padded batches,
+        in-place uniform-position writes) or "paged" (block-table pool —
+        the ragged continuous-batching layout; slower until the Pallas
+        paged-attention kernel lands, see decoder.ContigCache docs)."""
         self.cfg = cfg
+        self.kv_layout = kv_layout
+        self.json_length_bias = json_length_bias
         self.tokenizer = ByteTokenizer(cfg.vocab_size)
         if params is None:
             params = init_vlm_params(jax.random.PRNGKey(seed), cfg)
@@ -76,6 +83,7 @@ class InferenceEngine:
         self.allocator = PageAllocator(num_pages)
         self.max_pages_per_seq = max_pages_per_seq
         self._rng = jax.random.PRNGKey(seed + 1)
+        self._fsm_cache: Dict[int, tuple] = {}
         # persistent device-side page pools
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self._cache_template = dec.init_kv_cache(
@@ -116,24 +124,94 @@ class InferenceEngine:
         tok_lists = [self._tokenize(r) for r in requests]
         T = self._bucket(max(len(t) for t in tok_lists))
         T = -(-T // self.cfg.page_size) * self.cfg.page_size
-        ids = self.tokenizer.pad_batch(tok_lists, pad_to=T)[:, :T]
-        # re-truncate rows that individually exceeded the bucket
         B = len(requests)
 
+        img_embeds = self._encode_request_images(requests)
+
+        use_fsm = schema is not None
+        fsm_trans = fsm_accept = fsm_dist = None
         max_new = max(r.max_new_tokens for r in requests)
+        if use_fsm:
+            fsm_trans, fsm_accept, fsm_dist, min_len = self._get_fsm(schema)
+            # a schema's shortest accepting path bounds the decode budget
+            # from below — never truncate mid-JSON
+            max_new = max(max_new, min_len + 32)
+
+        # decode-length buckets keep the compiled-program set small
+        for nb in (64, 128, 256, 512, 1024, 2048):
+            if max_new <= nb:
+                max_new = nb
+                break
+        else:
+            max_new = 2048
+
+        self._rng, sub = jax.random.split(self._rng)
+        bias = self.json_length_bias if use_fsm else 0.0
+
+        if self.kv_layout == "contiguous":
+            ids = self.tokenizer.pad_batch(tok_lists, pad_to=T, left=True)
+            ids = ids[:, -T:]
+            result = self.vlm.generate_contig(
+                jnp.asarray(ids), img_embeds, sub, t_max=T + max_new,
+                max_new_tokens=max_new,
+                temperature=float(requests[0].temperature),
+                use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
+                fsm_dist=fsm_dist, length_bias=bias)
+        else:
+            result = self._generate_paged(
+                tok_lists, T, B, max_new, img_embeds, sub,
+                float(requests[0].temperature),
+                use_fsm, fsm_trans, fsm_accept, fsm_dist, bias)
+
+        out_tokens = np.asarray(result.tokens)
+        lengths = np.asarray(result.lengths)
+        return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
+                for i in range(B)]
+
+    def _generate_paged(self, tok_lists, T, B, max_new, img_embeds, rng,
+                        temperature, use_fsm, fsm_trans, fsm_accept,
+                        fsm_dist, bias):
+        ids = self.tokenizer.pad_batch(tok_lists, pad_to=T)[:, :T]
         pages_per_seq = min(
             self.max_pages_per_seq,
             -(-(T + max_new) // self.cfg.page_size))
         total_new = pages_per_seq * self.cfg.page_size - T
         max_new = max(1, min(max_new, total_new))
 
-        # allocate pages
         page_lists = [self.allocator.alloc(pages_per_seq) for _ in range(B)]
         bt = np.full((B, pages_per_seq), 0, np.int32)
         for i, pl in enumerate(page_lists):
             bt[i] = pl
 
-        # encode images (one ViT batch across all requests)
+        cache = dec.KVCache(
+            k_pages=self._k_pages, v_pages=self._v_pages,
+            block_tables=jnp.asarray(bt),
+            lengths=jnp.zeros((B,), jnp.int32))
+        result, cache = self.vlm.generate(
+            jnp.asarray(ids), img_embeds, cache, rng,
+            max_new_tokens=max_new, temperature=temperature,
+            use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
+            fsm_dist=fsm_dist, length_bias=bias)
+        self._k_pages = cache.k_pages
+        self._v_pages = cache.v_pages
+        for pl in page_lists:
+            self.allocator.release(pl)
+        return result
+
+    def _get_fsm(self, schema):
+        """Schema DFA as device-resident arrays, cached (the scene-graph
+        table is tens of MB — re-uploading per call dominated latency)."""
+        key = id(schema)
+        hit = self._fsm_cache.get(key)
+        if hit is None:
+            dfa = structured.compile_schema_cached(schema, self.cfg.vocab_size)
+            hit = (jnp.asarray(dfa.trans), jnp.asarray(dfa.accept),
+                   jnp.asarray(dfa.dist), int(dfa.dist[0]))
+            self._fsm_cache[key] = hit
+        return hit
+
+    def _encode_request_images(self, requests: List[Request]):
+        """One shape-grouped ViT pass over every request's images."""
         img_embeds = None
         n_img = max((len(r.images) for r in requests), default=0)
         if n_img > 0:
@@ -175,33 +253,4 @@ class InferenceEngine:
                             if parts else
                             jnp.zeros((n_img * tpi, self.cfg.vit_width)))
             img_embeds = jnp.stack(rows)
-
-        cache = dec.KVCache(
-            k_pages=self._k_pages, v_pages=self._v_pages,
-            block_tables=jnp.asarray(bt),
-            lengths=jnp.zeros((B,), jnp.int32))
-
-        use_fsm = schema is not None
-        fsm_trans = fsm_accept = None
-        if use_fsm:
-            dfa = structured.compile_schema_cached(schema, self.cfg.vocab_size)
-            fsm_trans = jnp.asarray(dfa.trans)
-            fsm_accept = jnp.asarray(dfa.accept)
-
-        self._rng, sub = jax.random.split(self._rng)
-        result, cache = self.vlm.generate(
-            jnp.asarray(ids), img_embeds, cache, sub,
-            max_new_tokens=max_new,
-            temperature=float(requests[0].temperature),
-            use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept)
-
-        # persist page pools (weights of the cache survive across calls)
-        self._k_pages = cache.k_pages
-        self._v_pages = cache.v_pages
-        for pl in page_lists:
-            self.allocator.release(pl)
-
-        out_tokens = np.asarray(result.tokens)
-        lengths = np.asarray(result.lengths)
-        return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
-                for i in range(B)]
+        return img_embeds

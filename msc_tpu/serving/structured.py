@@ -41,10 +41,39 @@ class DFA:
     def __init__(self, trans: np.ndarray, accept: np.ndarray):
         self.trans = trans      # (S, vocab) int32, -1 = invalid
         self.accept = accept    # (S,) bool
+        self.dist = _distance_to_accept(trans, accept)  # (S,) int32
 
     @property
     def num_states(self) -> int:
         return self.trans.shape[0]
+
+
+def _distance_to_accept(trans: np.ndarray, accept: np.ndarray) -> np.ndarray:
+    """Per-state shortest byte distance to an accepting state (reverse
+    BFS).  Used as a length prior during constrained decoding: biasing
+    logits by -alpha*dist steers an (e.g. untrained) model toward the
+    shortest schema-valid completion; alpha=0 recovers the pure model
+    distribution."""
+    S = trans.shape[0]
+    INF = np.int32(1 << 20)
+    dist = np.full((S,), INF, np.int32)
+    dist[accept] = 0
+    # reverse adjacency: for BFS frontier expansion
+    from collections import defaultdict, deque
+
+    rev = defaultdict(list)
+    src, _ = np.nonzero(trans >= 0)
+    dst = trans[trans >= 0]
+    for s, t in zip(src.tolist(), dst.tolist()):
+        rev[t].append(s)
+    q = deque(int(i) for i in np.flatnonzero(accept))
+    while q:
+        t = q.popleft()
+        for s in rev.get(t, ()):
+            if dist[s] > dist[t] + 1:
+                dist[s] = dist[t] + 1
+                q.append(s)
+    return dist
 
 
 class _Builder:

@@ -17,6 +17,13 @@ def enable_compilation_cache(path: str | None = None):
     process start warm)."""
     import jax
 
+    # Reliable platform override: the image pre-wires JAX_PLATFORMS=axon
+    # and the plugin can override a plain env change, so MSC_PLATFORM goes
+    # through jax.config (must run before backend initialization).
+    want = os.environ.get("MSC_PLATFORM")
+    if want:
+        jax.config.update("jax_platforms", want)
+
     cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                        _DEFAULT_CACHE)
     os.makedirs(cache_dir, exist_ok=True)

@@ -1,0 +1,105 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msc_tpu.config import VLMConfig
+from msc_tpu.models.vlm import init_vlm_params
+from msc_tpu.parallel.mesh import (
+    data_sharding, make_mesh, make_vlm_shardings, shard_params,
+)
+from msc_tpu.training.train import (
+    caption_loss, forward_logits, init_train_state, make_optimizer,
+    make_train_step,
+)
+from msc_tpu.models.tokenizer import PAD_ID
+
+TINY = VLMConfig(
+    image_size=28, patch_size=14, vit_width=64, vit_depth=2, vit_heads=4,
+    vocab_size=512, d_model=128, n_layers=2, n_heads=8, n_kv_heads=2,
+    head_dim=16, mlp_hidden=256, max_seq_len=256, page_size=16,
+    dtype="float32",
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(data=4, model=2, devices=jax.devices()[:8])
+
+
+@pytest.fixture(scope="module")
+def params(mesh):
+    p = init_vlm_params(jax.random.PRNGKey(0), TINY)
+    return shard_params(p, mesh)
+
+
+def _batch(data=4):
+    rng = np.random.default_rng(0)
+    B, T = 2 * data, 64
+    ids = np.asarray(rng.integers(32, 120, size=(B, T)), np.int32)
+    ids[:, -8:] = PAD_ID
+    images = np.asarray(
+        rng.uniform(-1, 1, size=(B, TINY.image_size, TINY.image_size, 3)),
+        np.float32)
+    return ids, images, (ids != PAD_ID)
+
+
+def test_param_shardings_partition_heads(mesh, params):
+    sh = params["dec"]["layers"][0]["wq"].sharding
+    # wq: (D, H*hd) sharded over model on the output axis
+    assert sh.spec == jax.sharding.PartitionSpec(None, "model")
+    # a model-sharded leaf occupies half the bytes per shard
+    shard_shape = sh.shard_shape(params["dec"]["layers"][0]["wq"].shape)
+    assert shard_shape[1] * 2 == params["dec"]["layers"][0]["wq"].shape[1]
+
+
+def test_sharded_forward_matches_single_device(mesh, params):
+    ids, images, _ = _batch()
+    dsh = data_sharding(mesh)
+    ids_s = jax.device_put(jnp.asarray(ids), dsh)
+    img_s = jax.device_put(jnp.asarray(images), dsh)
+
+    sharded = jax.jit(lambda p, i, im: forward_logits(p, TINY, i, im))(
+        params, ids_s, img_s)
+
+    host_params = jax.device_get(params)
+    local = jax.jit(lambda p, i, im: forward_logits(p, TINY, i, im))(
+        host_params, jnp.asarray(ids), jnp.asarray(images))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_train_step_runs_and_learns(mesh, params):
+    optimizer = make_optimizer(lr=1e-2)
+    state = init_train_state(params, optimizer)
+    step_fn = make_train_step(TINY, optimizer, mesh=mesh)
+
+    ids, images, mask = _batch()
+    dsh = data_sharding(mesh)
+    ids = jax.device_put(jnp.asarray(ids), dsh)
+    images = jax.device_put(jnp.asarray(images), dsh)
+    mask = jax.device_put(jnp.asarray(mask), dsh)
+
+    losses = []
+    for _ in range(3):
+        state, loss = step_fn(state, ids, images, mask)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # overfits the fixed batch
+    # params keep their TP sharding across steps
+    assert state.params["dec"]["layers"][0]["wq"].sharding.spec == \
+        jax.sharding.PartitionSpec(None, "model")
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.ndim == 3 and out.shape[-1] == 512
+    g.dryrun_multichip(8)

@@ -126,6 +126,20 @@ def test_engine_free_text_batch():
     assert engine.allocator.used == 0  # pages released
 
 
+def test_engine_paged_layout_matches_contiguous():
+    """Both KV layouts must produce identical greedy tokens."""
+    reqs = [Request(messages=[{"role": "user", "content": "abc def"}],
+                    max_new_tokens=16)]
+    eng_c = InferenceEngine(TINY, seed=0, num_pages=64, max_pages_per_seq=32,
+                            kv_layout="contiguous")
+    eng_p = InferenceEngine(TINY, seed=0, num_pages=64, max_pages_per_seq=32,
+                            kv_layout="paged")
+    out_c = eng_c.generate_batch(list(reqs))[0]
+    out_p = eng_p.generate_batch(list(reqs))[0]
+    assert out_c == out_p
+    assert eng_p.allocator.used == 0
+
+
 def test_client_retry_semantics():
     backend = FakeBackend({"*": "fine"}, fail_first_n=2)
     client = ChatClient(backend)
