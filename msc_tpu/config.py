@@ -85,6 +85,30 @@ class VLMConfig:
         return (self.image_size // self.patch_size) ** 2
 
 
+def vlm_preset(name: str) -> "VLMConfig":
+    """Model-family presets (the reference's small/large/vision model
+    selection, `src/pipeline.py:12-20`, mapped to local architectures)."""
+    presets = {
+        # test-scale
+        "msc-vlm-tiny": dict(image_size=28, patch_size=14, vit_width=64,
+                             vit_depth=2, vit_heads=4, d_model=128,
+                             n_layers=2, n_heads=8, n_kv_heads=2,
+                             head_dim=16, mlp_hidden=256, max_seq_len=256,
+                             page_size=16, dtype="float32"),
+        # default single-chip serving model (~35M params)
+        "msc-vlm-s": dict(),
+        # larger family member: shard over the model axis when it
+        # outgrows one chip's HBM alongside the caches
+        "msc-vlm-m": dict(vit_width=768, vit_depth=12, vit_heads=12,
+                          d_model=1024, n_layers=12, n_heads=16,
+                          n_kv_heads=4, head_dim=64, mlp_hidden=4096),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown VLM preset: {name} "
+                       f"(have {sorted(presets)})")
+    return VLMConfig(**presets[name])
+
+
 @dataclass
 class MeshConfig:
     """Device mesh / sharding configuration.

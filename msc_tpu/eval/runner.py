@@ -98,11 +98,17 @@ class ComprehensiveMQARunner:
                 df.to_csv(output_csv, index=False)
 
         groups = questions_df.groupby("sample_token")
+        # overlap sample IO/decode with device compute
+        from msc_tpu.data.prefetch import PrefetchLoader
+
+        prefetch = (self.loader if isinstance(self.loader, PrefetchLoader)
+                    else PrefetchLoader(self.loader))
+        prefetch.schedule([token for token, _ in groups])
         for si, (token, sample_questions) in enumerate(groups):
             print(f"[{si + 1}/{len(groups)}] sample {token} "
                   f"({len(sample_questions)} questions)")
             try:
-                sample = self.loader.load_sample(token)
+                sample = prefetch.load_sample(token)
             except Exception as e:
                 print(f"  error loading sample: {e}")
                 continue

@@ -234,7 +234,16 @@ def prefill_contig(params: Dict, cfg: VLMConfig, ids: jax.Array,
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
 
     x = embed_tokens(params, ids, img_embeds, img_token_id, dtype)
-    mask = jnp.tril(jnp.ones((T, T), bool))[None] & valid_prompt[:, None, :]
+
+    # Flash (Pallas) prefill attention for long prompts: streams KV blocks
+    # through VMEM instead of materializing (T, T) scores per head in HBM
+    # (msc_tpu/ops/attention.py).  XLA einsum remains for short prompts
+    # and on CPU (Pallas interpret mode is used only in tests).
+    use_flash = (T >= 256 and T % 128 == 0
+                 and jax.default_backend() != "cpu")
+    if not use_flash:
+        mask = (jnp.tril(jnp.ones((T, T), bool))[None]
+                & valid_prompt[:, None, :])
 
     L = cfg.n_layers
     k_cache = jnp.zeros((L, B, t_max, cfg.n_kv_heads, cfg.head_dim), kv_dtype)
@@ -255,7 +264,13 @@ def prefill_contig(params: Dict, cfg: VLMConfig, ids: jax.Array,
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         k_cache = k_cache.at[li, :, :T].set(k.astype(kv_dtype))
         v_cache = v_cache.at[li, :, :T].set(v.astype(kv_dtype))
-        o = _attention_full(q, k, v, mask, dtype)
+        if use_flash:
+            from msc_tpu.ops.attention import flash_prefill_attention
+
+            o = flash_prefill_attention(q, k, v, valid_prompt)
+            o = o.reshape(B, T, cfg.n_heads * cfg.head_dim).astype(dtype)
+        else:
+            o = _attention_full(q, k, v, mask, dtype)
         x = x + jnp.dot(o, layer["wo"].astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
         x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)

@@ -135,7 +135,7 @@ def decorate_semantic_bev(semantic: np.ndarray, res: int = 800,
     (`lidar_agent.py:599-634`).  Fixed-cost drawing; not a hot loop."""
     import cv2
 
-    img = np.ascontiguousarray(semantic)
+    img = np.array(semantic, copy=True)  # device_get buffers are readonly
     center = res // 2
     m = 15
     cv2.line(img, (center - m, center), (center + m, center), (0, 255, 0), 3)

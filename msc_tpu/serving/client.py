@@ -175,9 +175,14 @@ def make_backend(model_config, vlm_params=None) -> Backend:
 
         return AnalyticBackend()
     if kind == "vlm":
+        from msc_tpu.config import vlm_preset
         from msc_tpu.serving.engine import InferenceEngine
 
-        engine = InferenceEngine(model_config.vlm, params=vlm_params,
+        vlm_cfg = model_config.vlm
+        if model_config.small_model != "msc-vlm-s":
+            # model-family selection by preset name
+            vlm_cfg = vlm_preset(model_config.small_model)
+        engine = InferenceEngine(vlm_cfg, params=vlm_params,
                                  seed=model_config.seed)
         return VLMBackend(engine,
                           max_new_tokens=model_config.backend.max_new_tokens)

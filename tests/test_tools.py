@@ -1,0 +1,60 @@
+"""CLI tools smoke tests (hermetic, CPU)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "MSC_PLATFORM": "cpu", "MSC_USE_MOCK": "1",
+       "JAX_PLATFORMS": "cpu"}
+
+
+def _run(args, timeout=600):
+    return subprocess.run([sys.executable, "-m", *args], cwd=REPO, env=ENV,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_mock_test_cli():
+    r = _run(["msc_tpu.tools.mock_test", "--modality", "cams"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"scene_summary"' in r.stdout
+    assert "Question:" in r.stdout
+
+
+def test_export_sample_cli(tmp_path):
+    r = _run(["msc_tpu.tools.export_sample", "0", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    names = os.listdir(tmp_path)
+    assert "bev_semantic.png" in names
+    assert "annotations.csv" in names
+    assert any(n.startswith("CAM_") for n in names)
+
+
+def test_detailed_logs_cli(tmp_path):
+    r = _run(["msc_tpu.tools.detailed_logs", "1", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    names = os.listdir(tmp_path)
+    assert "SUMMARY.txt" in names
+    logs = [n for n in names if n.endswith(".log")]
+    assert logs
+    text = open(tmp_path / logs[0]).read()
+    assert "LAYER 1" in text and "LAYER 4" in text
+
+
+def test_prefetch_loader():
+    from msc_tpu.data.nuscenes import MockNuScenesLoader
+    from msc_tpu.data.prefetch import PrefetchLoader
+
+    base = MockNuScenesLoader()
+    pre = PrefetchLoader(base, num_workers=2, depth=2)
+    tokens = [f"mock_sample_000_{i:03d}" for i in range(4)]
+    samples = list(pre.iter_samples(tokens))
+    assert [s["sample_token"] for s in samples] == tokens
+    # un-scheduled access still works
+    s = pre.load_sample("mock_sample_001_000")
+    assert s["sample_token"] == "mock_sample_001_000"
+    # passthrough attribute
+    assert pre.get_scene_list()
+    pre.close()
