@@ -40,7 +40,7 @@ from msc_tpu.ops import (
     render_cluster_views,
     voxel_cluster,
 )
-from msc_tpu.ops.boxgeom import DIR8, direction_8way
+from msc_tpu.ops.boxgeom import DIR8, direction_8way_host
 from msc_tpu.ops.splat import (
     gather_cluster_points,
     tile_cluster_grids,
@@ -113,29 +113,56 @@ class LiDARAgent(BaseAgent):
         pc_np, n = pad_point_cloud(point_cloud, cfg.max_points)
         pc = jnp.asarray(pc_np)
 
-        # Steps 1-2, 4: one fused device pass (filter + ground + BEV).
-        # The BEV layers STAY ON DEVICE: the VLM consumes them as device
-        # images, and device->host transfers over the tunnel are the most
-        # expensive resource in the whole pipeline (see
-        # msc_tpu/utils/jax_setup.warmup_device_transfer).  Host copies are
-        # only materialized on demand (`generate_bev`, export tools).
-        masks = filter_and_segment(
-            pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
-            min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z)
-        bev = rasterize_bev(pc, masks["ground"], masks["object"],
-                            res=cfg.bev_resolution, bev_range=cfg.bev_range)
-        self.last_bev = bev
+        # Steps 1-4: ONE fused device dispatch (filter + ground split + BEV
+        # + clustering) — every jitted call is a tunnel RPC, so the whole
+        # numeric front end runs as a single XLA program.  BEV layers STAY
+        # ON DEVICE (the VLM consumes them as device images; host copies
+        # only on demand via `generate_bev`/export tools), and one small
+        # batched device_get brings back everything host logic needs.
+        if self.cluster_backend == "host":
+            masks = filter_and_segment(
+                pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
+                min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z)
+            bev = rasterize_bev(pc, masks["ground"], masks["object"],
+                                res=cfg.bev_resolution,
+                                bev_range=cfg.bev_range)
+            self.last_bev = bev
+            clusters = self._cluster_host(pc_np, masks)
+            n_ground = int(masks["n_ground"])
+            n_object = int(masks["n_object"])
+            sem_bev = bev["semantic"]
+        else:
+            from msc_tpu.ops.lidar_pass import lidar_device_pass
 
-        # Step 3: clustering (device voxel-CC or exact host DBSCAN).
-        clusters = self._cluster(pc_np, pc, masks)
+            out = lidar_device_pass(
+                pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
+                min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z,
+                eps=cfg.dbscan_eps, min_samples=cfg.dbscan_min_samples,
+                min_cluster_points=cfg.min_cluster_points,
+                bev_resolution=cfg.bev_resolution, bev_range=cfg.bev_range,
+                max_clusters=cfg.max_clusters)
+            self.last_bev = {"density": out["bev_density"],
+                             "height": out["bev_height"],
+                             "semantic": out["bev_semantic"]}
+            sem_bev = out["bev_semantic"]
+            small = jax.device_get({k: out[k] for k in (
+                "n_ground", "n_object", "cl_point_cluster",
+                "cl_cluster_valid")})
+            valid = np.asarray(small["cl_cluster_valid"])
+            pcl = np.asarray(small["cl_point_cluster"])
+            remap = np.full(len(valid) + 1, -1, np.int32)
+            remap[np.flatnonzero(valid)] = np.arange(int(valid.sum()))
+            point_cluster = np.where(
+                pcl >= 0, remap[np.clip(pcl, 0, len(valid))], -1)
+            clusters = {"point_cluster": point_cluster.astype(np.int32),
+                        "n_clusters": int(valid.sum())}
+            n_ground = int(small["n_ground"])
+            n_object = int(small["n_object"])
 
         # Step 3b: classification via batched vision calls.
         detected = self._classify_clusters(pc_np, clusters)
 
-        # Step 5: semantic features (counts fetched in the same batched
-        # device_get as the cluster stats inside _cluster).
-        n_ground = int(masks["n_ground"])
-        n_object = int(masks["n_object"])
+        # Step 5: semantic features.
         features = self._semantic_features(detected, n_ground, n_object)
 
         # Step 6: structured report.
@@ -143,7 +170,7 @@ class LiDARAgent(BaseAgent):
 
         # Step 7: model interpretation of report + BEV (device image; the
         # cv2 decorations are export-path cosmetics, not model input).
-        observations = self._interpret(report, bev["semantic"], context)
+        observations = self._interpret(report, sem_bev, context)
         observations = self._append_marker(observations, detected)
 
         return {
@@ -161,38 +188,22 @@ class LiDARAgent(BaseAgent):
         }
 
     # ------------------------------------------------------------------
-    def _cluster(self, pc_np: np.ndarray, pc, masks) -> Dict[str, np.ndarray]:
+    def _cluster_host(self, pc_np: np.ndarray, masks) -> Dict[str, np.ndarray]:
+        """Exact C++ grid-DBSCAN fallback (cluster_backend='host')."""
         cfg = self.cfg
-        if self.cluster_backend == "host":
-            from msc_tpu.data.lidar_io import dbscan_host
+        from msc_tpu.data.lidar_io import dbscan_host
 
-            obj_idx = np.flatnonzero(np.asarray(masks["object"]))
-            labels, k = dbscan_host(pc_np[obj_idx], cfg.dbscan_eps,
-                                    cfg.dbscan_min_samples)
-            point_cluster = np.full(len(pc_np), -1, np.int32)
-            # drop tiny clusters + compact ids (parity lidar_agent.py:163-166)
-            keep_ids = [c for c in range(k)
-                        if (labels == c).sum() >= cfg.min_cluster_points]
-            remap = {c: i for i, c in enumerate(keep_ids)}
-            for c, i in remap.items():
-                point_cluster[obj_idx[labels == c]] = i
-            return {"point_cluster": point_cluster, "n_clusters": len(keep_ids)}
-
-        out = voxel_cluster(
-            pc, masks["object"], eps=cfg.dbscan_eps,
-            min_samples=cfg.dbscan_min_samples,
-            min_cluster_points=cfg.min_cluster_points,
-            bev_range=cfg.bev_range, z_min=cfg.min_z, z_max=cfg.max_z,
-            max_clusters=cfg.max_clusters)
-        # ONE batched device->host fetch for everything host logic needs
-        out = jax.device_get(out)
-        valid = np.asarray(out["cluster_valid"])
-        pcl = np.asarray(out["point_cluster"])
-        remap = np.full(len(valid) + 1, -1, np.int32)
-        remap[np.flatnonzero(valid)] = np.arange(int(valid.sum()))
-        point_cluster = np.where(pcl >= 0, remap[np.clip(pcl, 0, len(valid))], -1)
-        return {"point_cluster": point_cluster.astype(np.int32),
-                "n_clusters": int(valid.sum())}
+        obj_idx = np.flatnonzero(np.asarray(masks["object"]))
+        labels, k = dbscan_host(pc_np[obj_idx], cfg.dbscan_eps,
+                                cfg.dbscan_min_samples)
+        point_cluster = np.full(len(pc_np), -1, np.int32)
+        # drop tiny clusters + compact ids (parity lidar_agent.py:163-166)
+        keep_ids = [c for c in range(k)
+                    if (labels == c).sum() >= cfg.min_cluster_points]
+        remap = {c: i for i, c in enumerate(keep_ids)}
+        for c, i in remap.items():
+            point_cluster[obj_idx[labels == c]] = i
+        return {"point_cluster": point_cluster, "n_clusters": len(keep_ids)}
 
     def _classify_clusters(self, pc_np: np.ndarray,
                            clusters: Dict) -> List[DetectedObject]:
@@ -209,11 +220,10 @@ class LiDARAgent(BaseAgent):
             center = (mins + maxs) / 2
             dims = maxs - mins
             dist = float(np.hypot(center[0], center[1]))
-            d8 = int(np.asarray(direction_8way(
-                jnp.asarray(center[None, :2], jnp.float32)))[0])
             metas.append({
                 "index": c, "center": center, "dimensions": dims,
-                "distance": dist, "direction": DIR8[d8],
+                "distance": dist,
+                "direction": direction_8way_host(center[0], center[1]),
                 "num_points": int(len(pts)),
             })
 
@@ -228,11 +238,19 @@ class LiDARAgent(BaseAgent):
             jnp.asarray(pts_buf), jnp.asarray(msk_buf),
             img_size=self.cfg.cluster_img_size)
 
-        detected: List[DetectedObject] = []
+        # all classify batches go out as ONE batched model call
+        calls = []
+        batch_metas = []
         for start in range(0, k, batch_size):
             batch_meta = metas[start:start + batch_size]
             tile = tile_cluster_grids_device(grids[start:start + batch_size])
-            classifications = self._classify_batch(tile, batch_meta)
+            calls.append(self._build_classify_call(tile, batch_meta))
+            batch_metas.append(batch_meta)
+        responses = self.client.call_llm_batch(calls)
+
+        detected: List[DetectedObject] = []
+        for batch_meta, response in zip(batch_metas, responses):
+            classifications = self._parse_classifications(response, batch_meta)
             for meta, cls in zip(batch_meta, classifications):
                 if cls["category"] != "unknown" and cls["confidence"] > 0.3:
                     detected.append(DetectedObject(
@@ -246,8 +264,7 @@ class LiDARAgent(BaseAgent):
                     ))
         return detected
 
-    def _classify_batch(self, tile: np.ndarray,
-                        metas: List[Dict]) -> List[Dict]:
+    def _build_classify_call(self, tile, metas: List[Dict]) -> dict:
         lines = ["Object Cluster Details:"]
         for i, m in enumerate(metas):
             c, d = m["center"], m["dimensions"]
@@ -269,8 +286,11 @@ class LiDARAgent(BaseAgent):
                 {"type": "text", "text": user},
             ]},
         ]
-        response = self.call_llm(messages, temperature=0.2,
-                                 task="cluster_classify", images=[tile])
+        return dict(messages=messages, temperature=0.2,
+                    task="cluster_classify", images=[tile])
+
+    @staticmethod
+    def _parse_classifications(response: str, metas: List[Dict]) -> List[Dict]:
         try:
             cleaned = response.strip()
             if cleaned.startswith("```"):

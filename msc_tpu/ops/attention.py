@@ -44,7 +44,7 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int,
             preferred_element_type=jnp.float32)         # (bq, bk)
         kv_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        vmask = valid_ref[0, pl.ds(j * block_k, block_k)][None, :] > 0
+        vmask = valid_ref[0, 0, pl.ds(j * block_k, block_k)][None, :] > 0
         mask = (kv_pos <= q_pos) & vmask
         s = jnp.where(mask, s, NEG_INF)
 
@@ -88,7 +88,7 @@ def flash_prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     qt = q.transpose(0, 2, 1, 3).reshape(B * H, T, hd)
     kt = k.transpose(0, 2, 1, 3).reshape(B * KV, T, hd)
     vt = v.transpose(0, 2, 1, 3).reshape(B * KV, T, hd)
-    valid_i = valid.astype(jnp.int32)
+    valid_i = valid.astype(jnp.int32).reshape(B, 1, T)
 
     grid = (B * H, T // block_q)
 
@@ -97,7 +97,7 @@ def flash_prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           sm_scale=sm_scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, T), lambda bh, qi: (bh // H, 0),
+            pl.BlockSpec((1, 1, T), lambda bh, qi: (bh // H, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),

@@ -89,6 +89,14 @@ def ego_distance(xy: jax.Array) -> jax.Array:
     return jnp.hypot(xy[:, 0], xy[:, 1])
 
 
+def direction_8way_host(x: float, y: float) -> str:
+    """Host scalar version of direction_8way (same sector mapping) for
+    small per-cluster loops where a jitted dispatch per item would be an
+    RPC round trip."""
+    ang = (np.degrees(np.arctan2(y, x))) % 360.0
+    return DIR8[int(np.floor((ang + 22.5) / 45.0)) % 8]
+
+
 def annotations_to_arrays(annotations) -> dict:
     """Host helper: annotation dicts -> batched arrays for the kernels."""
     n = len(annotations)
