@@ -57,13 +57,34 @@ def main():
         assert "structured_caption" in result
         return result
 
-    for i in range(WARMUP):
-        run_scene(i)
+    # concurrency > 1 only helps off-tunnel (see config.BackendConfig)
+    concurrency = int(os.environ.get("MSC_BENCH_CONCURRENCY", "1"))
+
+    def run_many(indices):
+        if concurrency > 1 and len(indices) > 1:
+            from msc_tpu.serving.batching import run_scenes_concurrent
+
+            samples = [loader.get_sample_by_scene_index(i, 0)
+                       for i in indices]
+            jobs = [dict(images=s["images"], camera_names=s["camera_names"],
+                         point_cloud=s["point_cloud"],
+                         annotations=s["annotations"],
+                         modality_config=modality) for s in samples]
+            results = run_scenes_concurrent(pipeline, jobs,
+                                            max_workers=concurrency)
+            for r in results:
+                if isinstance(r, Exception):
+                    raise r
+                assert "structured_caption" in r
+        else:
+            for i in indices:
+                run_scene(i)
+
+    run_many(list(range(WARMUP)))
 
     pipeline.timer.reset()
     t0 = time.perf_counter()
-    for i in range(TIMED):
-        run_scene(WARMUP + i)
+    run_many([WARMUP + i for i in range(TIMED)])
     elapsed = time.perf_counter() - t0
 
     scenes_per_sec = TIMED / elapsed

@@ -26,7 +26,9 @@ class BaseAgent:
     def call_llm(self, messages: List[dict], temperature: float = 0.7,
                  max_retries: int = 8, response_format: Any = None,
                  task: Optional[str] = None,
-                 images: Sequence[np.ndarray] = ()) -> Any:
+                 images: Sequence[np.ndarray] = (),
+                 max_new_tokens: Optional[int] = None) -> Any:
         return self.client.call_llm(
             messages, temperature=temperature, max_retries=max_retries,
-            response_format=response_format, task=task, images=images)
+            response_format=response_format, task=task, images=images,
+            max_new_tokens=max_new_tokens)

@@ -67,7 +67,8 @@ class CameraAgent(BaseAgent):
             {"role": "user", "content": user_content},
         ]
         response = self.call_llm(messages, temperature=0.3,
-                                 task="camera_describe", images=images)
+                                 task="camera_describe", images=images,
+                                 max_new_tokens=256)
 
         observations = self._split_by_camera(response, camera_names)
         return {

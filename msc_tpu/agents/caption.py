@@ -103,7 +103,8 @@ class CaptionGenerator(BaseAgent):
         messages = [{"role": "system", "content": _MQA_SYSTEM},
                     {"role": "user", "content": user}]
         try:
-            return self.call_llm(messages, temperature=0.2, task="mqa_answer")
+            return self.call_llm(messages, temperature=0.2, task="mqa_answer",
+                                 max_new_tokens=64)
         except Exception as e:
             print(f"  [CaptionGenerator] MQA error: {e}")
             return "Error: Unable to answer question"

@@ -42,7 +42,8 @@ class CrossModalAgent(BaseAgent):
             {"role": "system", "content": _SYSTEM_PROMPT},
             {"role": "user", "content": user},
         ]
-        response = self.call_llm(messages, temperature=0.4, task="crossmodal")
+        response = self.call_llm(messages, temperature=0.4, task="crossmodal",
+                                 max_new_tokens=128)
         return {
             "agent": self.agent_name,
             "modality": "cross_modal",

@@ -287,7 +287,8 @@ class LiDARAgent(BaseAgent):
             ]},
         ]
         return dict(messages=messages, temperature=0.2,
-                    task="cluster_classify", images=[tile])
+                    task="cluster_classify", images=[tile],
+                    max_new_tokens=192)
 
     @staticmethod
     def _parse_classifications(response: str, metas: List[Dict]) -> List[Dict]:
@@ -396,7 +397,8 @@ class LiDARAgent(BaseAgent):
             ]},
         ]
         return self.call_llm(messages, temperature=0.4,
-                             task="lidar_interpret", images=[semantic_bev])
+                             task="lidar_interpret", images=[semantic_bev],
+                             max_new_tokens=128)
 
     @staticmethod
     def _append_marker(observations: str,

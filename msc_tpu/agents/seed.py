@@ -99,6 +99,7 @@ class FocusedCaptionAgent(BaseAgent):
                       {"role": "user", "content": user}],
             temperature=0.6,
             task=f"seed:{self.focus_area}",
+            max_new_tokens=160,
         )
 
     def generate(self, transformed_content: Dict) -> Dict[str, Any]:
@@ -122,7 +123,8 @@ class ComprehensiveCaptionMerger(BaseAgent):
                 "Don't lose any details.")
         messages = [{"role": "system", "content": _MERGE_SYSTEM},
                     {"role": "user", "content": user}]
-        return self.call_llm(messages, temperature=0.5, task="merge")
+        return self.call_llm(messages, temperature=0.5, task="merge",
+                             max_new_tokens=256)
 
 
 class SeedFeatureAgent:

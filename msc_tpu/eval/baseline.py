@@ -87,7 +87,8 @@ class RawVLMBaseline:
         messages = [{"role": "system", "content": _CAPTION_SYSTEM},
                     {"role": "user", "content": content}]
         return self.client.call_llm(messages, temperature=0.0,
-                                    task="baseline_caption", images=images)
+                                    task="baseline_caption", images=images,
+                                    max_new_tokens=320)
 
     def answer_question_from_caption(self, question: str, caption: str) -> str:
         user = (f"Question: {question}\n\nScene caption:\n{caption}\n\n"
@@ -95,7 +96,8 @@ class RawVLMBaseline:
         messages = [{"role": "system", "content": _ANSWER_SYSTEM},
                     {"role": "user", "content": user}]
         return self.client.call_llm(messages, temperature=0.0,
-                                    task="baseline_answer")
+                                    task="baseline_answer",
+                                    max_new_tokens=64)
 
     # ------------------------------------------------------------------
     def run_baseline_evaluation(self, loader,

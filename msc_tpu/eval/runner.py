@@ -32,12 +32,18 @@ class ComprehensiveMQARunner:
 
     def __init__(self, pipeline, loader, mqa_csv_path: Optional[str] = None,
                  mqa_df: Optional[pd.DataFrame] = None,
-                 batch_questions: bool = True):
+                 batch_questions: bool = True,
+                 concurrent_configs: int = 1):
+        """concurrent_configs > 1 runs a sample's modality configs on
+        threads sharing the pipeline; with a ContinuousBatcher backend
+        their same-stage model calls coalesce into batched device calls
+        (msc_tpu/serving/batching.py)."""
         self.pipeline = pipeline
         self.loader = loader
         self.evaluator = ComprehensiveMQAEvaluator(mqa_csv_path, mqa_df)
         self.config_generator = ModalityConfigGenerator()
         self.batch_questions = batch_questions
+        self.concurrent_configs = max(1, concurrent_configs)
 
     # ------------------------------------------------------------------
     def _index_sample_tokens(self) -> set:
@@ -112,11 +118,15 @@ class ComprehensiveMQARunner:
             except Exception as e:
                 print(f"  error loading sample: {e}")
                 continue
+            jobs = []
             for config_name, mc in configs.items():
                 pending = [qr for _, qr in sample_questions.iterrows()
                            if (token, config_name, qr["question"]) not in done]
-                if not pending:
-                    continue
+                if pending:
+                    jobs.append((config_name, mc, pending))
+
+            def handle(job):
+                config_name, mc, pending = job
                 try:
                     scene_result = self.pipeline.process_scene(
                         images=sample["images"],
@@ -124,13 +134,6 @@ class ComprehensiveMQARunner:
                         point_cloud=sample["point_cloud"],
                         annotations=sample["annotations"],
                         modality_config=mc)
-                    final_caption = scene_result["structured_caption"]["full_caption"]
-                except Exception as e:
-                    print(f"  error processing config {config_name}: "
-                          f"{str(e)[:120]}")
-                    continue
-
-                try:
                     if self.batch_questions:
                         answers = self.pipeline.answer_mqa_batch(
                             [q["question"] for q in pending], scene_result)
@@ -138,10 +141,25 @@ class ComprehensiveMQARunner:
                         answers = [self.pipeline.answer_mqa(q["question"],
                                                             scene_result)
                                    for q in pending]
-                except Exception as e:
-                    print(f"  error answering questions: {str(e)[:120]}")
-                    continue
+                    caption = scene_result["structured_caption"]["full_caption"]
+                    return config_name, mc, pending, answers, caption
+                except Exception as e:  # continue-on-error parity
+                    print(f"  error on config {config_name}: {str(e)[:120]}")
+                    return None
 
+            if self.concurrent_configs > 1 and len(jobs) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.concurrent_configs,
+                                        thread_name_prefix="msc-cfg") as pool:
+                    results = list(pool.map(handle, jobs))
+            else:
+                results = [handle(j) for j in jobs]
+
+            for res in results:
+                if res is None:
+                    continue
+                config_name, mc, pending, answers, final_caption = res
                 for qrow, answer in zip(pending, answers):
                     rows.append({
                         "sample_token": token,
@@ -155,7 +173,7 @@ class ComprehensiveMQARunner:
                         "predicted_answer": answer,
                         "final_scene_caption": final_caption,
                     })
-                flush()  # incremental persistence per (sample, config)
+            flush()  # incremental persistence per sample
 
         results_df = pd.DataFrame(rows)
         if len(results_df):

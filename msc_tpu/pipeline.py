@@ -195,6 +195,6 @@ class SemanticCaptioningPipeline:
                                 "(<target><cnt></cnt> <obj></obj></target>, "
                                 "<ans>)."},
                     {"role": "user", "content": user}],
-                temperature=0.2, task="mqa_answer"))
+                temperature=0.2, task="mqa_answer", max_new_tokens=64))
         with self.timer.stage("mqa.answer_batch"):
             return self.client.call_llm_batch(calls)

@@ -159,7 +159,8 @@ class AnalyticBackend(Backend):
 
     def complete(self, messages: List[dict], temperature: float,
                  response_format: Any = None, task: Optional[str] = None,
-                 images: Sequence[np.ndarray] = ()) -> str:
+                 images: Sequence[np.ndarray] = (),
+                 max_new_tokens: Optional[int] = None) -> str:
         text = _user_text(messages)
         task = task or ""
 

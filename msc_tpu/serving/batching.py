@@ -1,0 +1,125 @@
+"""Continuous batching across concurrent pipeline threads.
+
+The per-call cost of the on-TPU VLM is dominated by fixed dispatch +
+prefill latency — a batch of 5 costs nearly the same as a batch of 1
+(measured 0.07 s vs 0.06 s).  ``ContinuousBatcher`` exploits that: it
+wraps any Backend with a collector thread that gathers requests arriving
+from concurrent scene/config pipelines within a short window and executes
+them as one batched call (``complete_batch`` groups by schema internally).
+
+This is the cross-scene / cross-ablation-config parallelization axis of
+SURVEY.md section 2.3 — the reference runs its sample x config x question
+loop strictly serially over HTTPS.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+from msc_tpu.serving.client import Backend
+
+
+class ContinuousBatcher(Backend):
+    """Backend wrapper: batches concurrent complete() calls."""
+
+    def __init__(self, inner: Backend, max_batch: int = 8,
+                 window_ms: float = 5.0):
+        self.inner = inner
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="msc-batcher")
+        self._stopped = False
+        self._worker.start()
+
+    # -- Backend interface ------------------------------------------------
+    def complete(self, messages, temperature, response_format=None,
+                 task=None, images=(), max_new_tokens=None):
+        fut: Future = Future()
+        self._q.put((dict(messages=messages, temperature=temperature,
+                          response_format=response_format, task=task,
+                          images=images, max_new_tokens=max_new_tokens),
+                     fut))
+        return fut.result()
+
+    def complete_batch(self, calls: List[dict]) -> List[str]:
+        futs = []
+        for c in calls:
+            fut: Future = Future()
+            self._q.put((c, fut))
+            futs.append(fut)
+        return [f.result() for f in futs]
+
+    def close(self):
+        self._stopped = True
+        self._q.put(None)
+
+    # -- collector ---------------------------------------------------------
+    def _loop(self):
+        import time
+
+        while not self._stopped:
+            item = self._q.get()
+            if item is None:
+                break
+            batch = [item]
+            # small gather window lets concurrent threads' calls coalesce
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._stopped = True
+                    break
+                batch.append(nxt)
+
+            # group by (schema, decode budget): mixing budgets makes the
+            # whole coalesced batch decode to the largest budget
+            groups = {}
+            for c, f in batch:
+                key = (id(c.get("response_format")), c.get("max_new_tokens"))
+                groups.setdefault(key, []).append((c, f))
+            for items in groups.values():
+                calls = [c for c, _ in items]
+                futs = [f for _, f in items]
+                try:
+                    results = self.inner.complete_batch(calls)
+                    for f, r in zip(futs, results):
+                        f.set_result(r)
+                except Exception as e:  # propagate to every waiter
+                    for f in futs:
+                        if not f.done():
+                            f.set_exception(e)
+
+
+def run_scenes_concurrent(pipeline, scene_jobs: Sequence[dict],
+                          max_workers: int = 5) -> List[Any]:
+    """Run several process_scene jobs on threads sharing one pipeline.
+
+    Each job is a kwargs dict for ``pipeline.process_scene``.  Combined
+    with a ContinuousBatcher backend, same-stage model calls from
+    different jobs coalesce into batched device calls.  Returns results
+    in job order; a failed job yields its exception object.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(job):
+        try:
+            return pipeline.process_scene(**job)
+        except Exception as e:  # continue-on-error parity with the runner
+            return e
+
+    with ThreadPoolExecutor(max_workers=max_workers,
+                            thread_name_prefix="msc-scene") as pool:
+        return list(pool.map(run, scene_jobs))

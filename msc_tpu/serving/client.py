@@ -45,7 +45,8 @@ class Backend:
 
     def complete(self, messages: List[dict], temperature: float,
                  response_format: Any = None, task: Optional[str] = None,
-                 images: Sequence[np.ndarray] = ()) -> str:
+                 images: Sequence[np.ndarray] = (),
+                 max_new_tokens: Optional[int] = None) -> str:
         raise NotImplementedError
 
     def complete_batch(self, calls: List[dict]) -> List[str]:
@@ -61,12 +62,14 @@ class ChatClient:
     def call_llm(self, messages: List[dict], temperature: float = 0.7,
                  max_retries: int = 8, response_format: Any = None,
                  task: Optional[str] = None,
-                 images: Sequence[np.ndarray] = ()) -> Any:
+                 images: Sequence[np.ndarray] = (),
+                 max_new_tokens: Optional[int] = None) -> Any:
         delay = 5.0
         for attempt in range(max_retries):
             try:
                 text = self.backend.complete(
-                    messages, temperature, response_format, task, images)
+                    messages, temperature, response_format, task, images,
+                    max_new_tokens)
                 if response_format is None:
                     return text
                 return _parse_structured(text, response_format)
@@ -92,6 +95,7 @@ class ChatClient:
                 response_format=calls[i].get("response_format"),
                 task=calls[i].get("task"),
                 images=calls[i].get("images", ()),
+                max_new_tokens=calls[i].get("max_new_tokens"),
             ) for i in idxs]
             texts = self.backend.complete_batch(batch)
             for i, text in zip(idxs, texts):
@@ -124,7 +128,7 @@ class FakeBackend(Backend):
         self._fail_remaining = fail_first_n
 
     def complete(self, messages, temperature, response_format=None,
-                 task=None, images=()):
+                 task=None, images=(), max_new_tokens=None):
         self.calls.append({"task": task, "messages": messages,
                            "temperature": temperature,
                            "n_images": len(images)})
@@ -147,22 +151,34 @@ class VLMBackend(Backend):
         self.max_new_tokens = max_new_tokens
 
     def complete(self, messages, temperature, response_format=None,
-                 task=None, images=()):
+                 task=None, images=(), max_new_tokens=None):
         return self.complete_batch([dict(
             messages=messages, temperature=temperature,
-            response_format=response_format, task=task, images=images)])[0]
+            response_format=response_format, task=task, images=images,
+            max_new_tokens=max_new_tokens)])[0]
 
     def complete_batch(self, calls: List[dict]) -> List[str]:
         from msc_tpu.serving.engine import Request
 
-        reqs = [Request(
-            messages=c["messages"],
-            temperature=c.get("temperature", 0.0),
-            schema=c.get("response_format"),
-            images=list(c.get("images", ())),
-            max_new_tokens=self.max_new_tokens,
-        ) for c in calls]
-        return self.engine.generate_batch(reqs)
+        # group by schema: the engine runs homogeneous constrained batches
+        results: List[str] = [None] * len(calls)  # type: ignore[list-item]
+        groups: Dict[Any, List[int]] = {}
+        for i, c in enumerate(calls):
+            key = (id(c.get("response_format")), c.get("max_new_tokens"))
+            groups.setdefault(key, []).append(i)
+        for idxs in groups.values():
+            reqs = [Request(
+                messages=calls[i]["messages"],
+                temperature=calls[i].get("temperature", 0.0),
+                schema=calls[i].get("response_format"),
+                images=list(calls[i].get("images", ())),
+                max_new_tokens=(calls[i].get("max_new_tokens")
+                                or self.max_new_tokens),
+            ) for i in idxs]
+            outs = self.engine.generate_batch(reqs)
+            for i, o in zip(idxs, outs):
+                results[i] = o
+        return results
 
 
 def make_backend(model_config, vlm_params=None) -> Backend:
@@ -184,6 +200,11 @@ def make_backend(model_config, vlm_params=None) -> Backend:
             vlm_cfg = vlm_preset(model_config.small_model)
         engine = InferenceEngine(vlm_cfg, params=vlm_params,
                                  seed=model_config.seed)
-        return VLMBackend(engine,
-                          max_new_tokens=model_config.backend.max_new_tokens)
+        backend = VLMBackend(engine,
+                             max_new_tokens=model_config.backend.max_new_tokens)
+        if getattr(model_config.backend, "continuous_batching", True):
+            from msc_tpu.serving.batching import ContinuousBatcher
+
+            return ContinuousBatcher(backend)
+        return backend
     raise ValueError(f"unknown backend kind: {kind}")

@@ -124,9 +124,24 @@ class InferenceEngine:
         tok_lists = [self._tokenize(r) for r in requests]
         T = self._bucket(max(len(t) for t in tok_lists))
         T = -(-T // self.cfg.page_size) * self.cfg.page_size
-        B = len(requests)
+        # bucket the batch dimension too (continuous batching coalesces
+        # arbitrary request counts; unbucketed B explodes the compiled
+        # program set).  Dummy rows are all-PAD prompts, dropped on return.
+        B_real = len(requests)
+        for bb in (1, 2, 4, 8, 16):
+            if B_real <= bb:
+                B = bb
+                break
+        else:
+            B = B_real
+        tok_lists = tok_lists + [[PAD_ID]] * (B - B_real)
 
         img_embeds = self._encode_request_images(requests)
+        if img_embeds is not None and B > B_real:
+            img_embeds = jnp.concatenate([
+                img_embeds,
+                jnp.zeros((B - B_real,) + img_embeds.shape[1:],
+                          img_embeds.dtype)], axis=0)
 
         use_fsm = schema is not None
         fsm_trans = fsm_accept = fsm_dist = None
@@ -166,7 +181,7 @@ class InferenceEngine:
         out_tokens = np.asarray(result.tokens)
         lengths = np.asarray(result.lengths)
         return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
-                for i in range(B)]
+                for i in range(B_real)]
 
     def _generate_paged(self, tok_lists, T, B, max_new, img_embeds, rng,
                         temperature, use_fsm, fsm_trans, fsm_accept,
