@@ -198,8 +198,17 @@ def make_backend(model_config, vlm_params=None) -> Backend:
         if model_config.small_model != "msc-vlm-s":
             # model-family selection by preset name
             vlm_cfg = vlm_preset(model_config.small_model)
+        mesh = None
+        mc = model_config.mesh
+        if mc.data * mc.model > 1:
+            from msc_tpu.parallel.mesh import make_mesh
+
+            import jax
+
+            mesh = make_mesh(mc.data, mc.model,
+                             jax.devices()[: mc.data * mc.model])
         engine = InferenceEngine(vlm_cfg, params=vlm_params,
-                                 seed=model_config.seed)
+                                 seed=model_config.seed, mesh=mesh)
         backend = VLMBackend(engine,
                              max_new_tokens=model_config.backend.max_new_tokens)
         if getattr(model_config.backend, "continuous_batching", True):

@@ -68,17 +68,27 @@ class InferenceEngine:
     def __init__(self, cfg: VLMConfig, params: Optional[dict] = None,
                  seed: int = 0, num_pages: int = 2048,
                  max_pages_per_seq: int = 24, json_length_bias: float = 3.0,
-                 kv_layout: str = "contiguous"):
+                 kv_layout: str = "contiguous", mesh=None):
         """kv_layout: "contiguous" (fast path: left-padded batches,
         in-place uniform-position writes) or "paged" (block-table pool —
         the ragged continuous-batching layout; slower until the Pallas
-        paged-attention kernel lands, see decoder.ContigCache docs)."""
+        paged-attention kernel lands, see decoder.ContigCache docs).
+
+        mesh: optional (data, model) Mesh — parameters get tensor-parallel
+        shardings (msc_tpu/parallel/mesh.py) and GSPMD partitions the
+        generate programs over it (attention heads / MLP hidden split over
+        ``model``; the all-reduces ride ICI)."""
         self.cfg = cfg
         self.kv_layout = kv_layout
         self.json_length_bias = json_length_bias
+        self.mesh = mesh
         self.tokenizer = ByteTokenizer(cfg.vocab_size)
         if params is None:
             params = init_vlm_params(jax.random.PRNGKey(seed), cfg)
+        if mesh is not None:
+            from msc_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.vlm = VLM(cfg, params)
         self.allocator = PageAllocator(num_pages)
         self.max_pages_per_seq = max_pages_per_seq

@@ -103,3 +103,21 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.ndim == 3 and out.shape[-1] == 512
     g.dryrun_multichip(8)
+
+
+def test_tensor_parallel_serving_matches_single(mesh):
+    """Engine with TP-sharded params must produce identical greedy tokens
+    to the single-device engine."""
+    from msc_tpu.serving.engine import InferenceEngine, Request
+
+    reqs = [Request(messages=[{"role": "user", "content": "hello tensor"}],
+                    max_new_tokens=16)]
+    single = InferenceEngine(TINY, seed=0, num_pages=64, max_pages_per_seq=32)
+    sharded = InferenceEngine(TINY, seed=0, num_pages=64,
+                              max_pages_per_seq=32, mesh=mesh)
+    out_single = single.generate_batch(list(reqs))[0]
+    out_sharded = sharded.generate_batch(list(reqs))[0]
+    assert out_single == out_sharded
+    # params really are partitioned over the model axis
+    wq = sharded.vlm.params["dec"]["layers"][0]["wq"]
+    assert wq.sharding.spec == jax.sharding.PartitionSpec(None, "model")
