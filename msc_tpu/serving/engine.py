@@ -85,6 +85,14 @@ class InferenceEngine:
         self.tokenizer = ByteTokenizer(cfg.vocab_size)
         if params is None:
             params = init_vlm_params(jax.random.PRNGKey(seed), cfg)
+        if cfg.dtype == "bfloat16":
+            # serving keeps weights in bf16: the decode loop reads every
+            # parameter each step, and f32 storage + per-step astype(bf16)
+            # tripled the HBM traffic (training keeps f32 masters)
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
         if mesh is not None:
             from msc_tpu.parallel.mesh import shard_params
 
@@ -241,6 +249,7 @@ class InferenceEngine:
         n_img = max((len(r.images) for r in requests), default=0)
         if n_img > 0:
             tpi = self.cfg.tokens_per_image
+            size = self.cfg.image_size
             flat = []
             for r in requests:
                 for im in r.images:
@@ -249,8 +258,17 @@ class InferenceEngine:
                     if isinstance(im, jax.Array):
                         if im.ndim == 2:
                             im = jnp.repeat(im[..., None], 3, axis=-1)
-                    elif im.ndim == 2:
-                        im = np.repeat(im[..., None], 3, axis=-1)
+                    else:
+                        if im.ndim == 2:
+                            im = np.repeat(im[..., None], 3, axis=-1)
+                        if im.shape[0] * im.shape[1] > 4 * size * size:
+                            # big host frames resize BEFORE upload: a raw
+                            # 900x1600 six-pack is ~26 MB h2d per scene,
+                            # vs ~0.9 MB after host-side downscale
+                            import cv2
+
+                            im = cv2.resize(im, (size, size),
+                                            interpolation=cv2.INTER_AREA)
                     flat.append(im)
             # group by raw shape so each shape preprocesses as one batch
             # (shapes recur across scenes: camera frames, BEV, cluster tiles)
