@@ -37,8 +37,11 @@ def main():
     from msc_tpu.data.nuscenes import MockNuScenesLoader
     from msc_tpu.pipeline import SemanticCaptioningPipeline
 
+    concurrency = int(os.environ.get("MSC_BENCH_CONCURRENCY", "1"))
     cfg = Config.from_env()
     cfg.model.backend.kind = BACKEND
+    # coalesce concurrent scenes' calls into batched device calls
+    cfg.model.backend.continuous_batching = concurrency > 1
 
     loader = MockNuScenesLoader(num_scenes=WARMUP + TIMED,
                                 samples_per_scene=1)
@@ -68,9 +71,6 @@ def main():
         )
         assert "structured_caption" in result
         return result
-
-    # concurrency > 1 only helps off-tunnel (see config.BackendConfig)
-    concurrency = int(os.environ.get("MSC_BENCH_CONCURRENCY", "1"))
 
     def run_many(indices):
         if concurrency > 1 and len(indices) > 1:

@@ -47,6 +47,7 @@ from msc_tpu.ops.splat import (
     tile_cluster_grids_device,
 )
 from msc_tpu.serving.analytic import DET_MARKER
+from msc_tpu.utils.device_lock import DEVICE_LOCK
 
 
 @dataclasses.dataclass
@@ -119,35 +120,39 @@ class LiDARAgent(BaseAgent):
         # ON DEVICE (the VLM consumes them as device images; host copies
         # only on demand via `generate_bev`/export tools), and one small
         # batched device_get brings back everything host logic needs.
+        # Device work serializes through DEVICE_LOCK so concurrent scene
+        # threads don't thrash the tunnel.
         if self.cluster_backend == "host":
-            masks = filter_and_segment(
-                pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
-                min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z)
-            bev = rasterize_bev(pc, masks["ground"], masks["object"],
-                                res=cfg.bev_resolution,
-                                bev_range=cfg.bev_range)
+            with DEVICE_LOCK:
+                masks = filter_and_segment(
+                    pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
+                    min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z)
+                bev = rasterize_bev(pc, masks["ground"], masks["object"],
+                                    res=cfg.bev_resolution,
+                                    bev_range=cfg.bev_range)
+                n_ground = int(masks["n_ground"])
+                n_object = int(masks["n_object"])
             self.last_bev = bev
-            clusters = self._cluster_host(pc_np, masks)
-            n_ground = int(masks["n_ground"])
-            n_object = int(masks["n_object"])
             sem_bev = bev["semantic"]
+            clusters = self._cluster_host(pc_np, masks)
         else:
             from msc_tpu.ops.lidar_pass import lidar_device_pass
 
-            out = lidar_device_pass(
-                pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
-                min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z,
-                eps=cfg.dbscan_eps, min_samples=cfg.dbscan_min_samples,
-                min_cluster_points=cfg.min_cluster_points,
-                bev_resolution=cfg.bev_resolution, bev_range=cfg.bev_range,
-                max_clusters=cfg.max_clusters)
+            with DEVICE_LOCK:
+                out = lidar_device_pass(
+                    pc, n, min_range=cfg.min_range, max_range=cfg.max_range,
+                    min_z=cfg.min_z, max_z=cfg.max_z, ground_z=cfg.ground_z,
+                    eps=cfg.dbscan_eps, min_samples=cfg.dbscan_min_samples,
+                    min_cluster_points=cfg.min_cluster_points,
+                    bev_resolution=cfg.bev_resolution,
+                    bev_range=cfg.bev_range, max_clusters=cfg.max_clusters)
+                small = jax.device_get({k: out[k] for k in (
+                    "n_ground", "n_object", "cl_point_cluster",
+                    "cl_cluster_valid")})
             self.last_bev = {"density": out["bev_density"],
                              "height": out["bev_height"],
                              "semantic": out["bev_semantic"]}
             sem_bev = out["bev_semantic"]
-            small = jax.device_get({k: out[k] for k in (
-                "n_ground", "n_object", "cl_point_cluster",
-                "cl_cluster_valid")})
             valid = np.asarray(small["cl_cluster_valid"])
             pcl = np.asarray(small["cl_point_cluster"])
             remap = np.full(len(valid) + 1, -1, np.int32)
@@ -234,9 +239,10 @@ class LiDARAgent(BaseAgent):
         batch_size = 10  # parity: <=10 clusters per model call
         k_pad = batch_size * (-(-k // batch_size))
         pts_buf, msk_buf = gather_cluster_points(pc_np, point_cluster, k_pad)
-        grids = render_cluster_views(
-            jnp.asarray(pts_buf), jnp.asarray(msk_buf),
-            img_size=self.cfg.cluster_img_size)
+        with DEVICE_LOCK:
+            grids = render_cluster_views(
+                jnp.asarray(pts_buf), jnp.asarray(msk_buf),
+                img_size=self.cfg.cluster_img_size)
 
         # all classify batches go out as ONE batched model call
         calls = []

@@ -27,6 +27,7 @@ from msc_tpu.models.tokenizer import ByteTokenizer, PAD_ID
 from msc_tpu.models.vlm import VLM, init_vlm_params
 from msc_tpu.ops.image import preprocess_images
 from msc_tpu.serving import structured
+from msc_tpu.utils.device_lock import DEVICE_LOCK
 
 
 @dataclasses.dataclass
@@ -138,6 +139,10 @@ class InferenceEngine:
         schema = requests[0].schema
         assert all(r.schema is schema for r in requests), \
             "generate_batch requires a homogeneous schema"
+        with DEVICE_LOCK:
+            return self._generate_batch_locked(requests, schema)
+
+    def _generate_batch_locked(self, requests, schema):
 
         tok_lists = [self._tokenize(r) for r in requests]
         T = self._bucket(max(len(t) for t in tok_lists))
