@@ -201,8 +201,9 @@ class InferenceEngine:
                 float(requests[0].temperature),
                 use_fsm, fsm_trans, fsm_accept, fsm_dist, bias)
 
-        out_tokens = np.asarray(result.tokens)
-        lengths = np.asarray(result.lengths)
+        # ONE synchronous tunnel round trip for both outputs (each sync
+        # fetch costs ~27 ms over the tunnel; a tuple device_get is one)
+        out_tokens, lengths = jax.device_get((result.tokens, result.lengths))
         return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
                 for i in range(B_real)]
 
