@@ -45,6 +45,13 @@ class VLM:
         self.params = params
         self._encode = jax.jit(
             lambda p, imgs: vit_mod.vit_encode(p, imgs, cfg))
+        # fused uint8 -> resize/normalize -> ViT in ONE dispatch (each
+        # dispatch is a tunnel RPC; see msc_tpu/serving/engine.py)
+        from msc_tpu.ops.image import preprocess_images
+
+        self._pre_encode = jax.jit(
+            lambda p, raw: vit_mod.vit_encode(
+                p, preprocess_images(raw, size=cfg.image_size), cfg))
         # params passed as a real argument (NOT closure/static: that would
         # bake 10^7 weights into the HLO as constants and explode compile
         # time); the cache is donated so the paged pools update in place.
@@ -63,6 +70,10 @@ class VLM:
     def encode_images(self, images: jax.Array) -> jax.Array:
         """(N, S, S, 3) float -> (N, tokens_per_image, vit_width)."""
         return self._encode(self.params["vit"], images)
+
+    def preprocess_and_encode(self, raw: jax.Array) -> jax.Array:
+        """(N, H, W, 3) any-dtype raw frames -> embeddings, one dispatch."""
+        return self._pre_encode(self.params["vit"], raw)
 
     def generate(self, ids: jax.Array, img_embeds: Optional[jax.Array],
                  cache: dec.KVCache, rng: jax.Array,

@@ -284,8 +284,7 @@ class InferenceEngine:
                 by_shape.setdefault(tuple(im.shape), []).append(idx)
             for shape, idxs in by_shape.items():
                 batch_imgs = jnp.stack([jnp.asarray(flat[i]) for i in idxs])
-                pre = preprocess_images(batch_imgs, size=self.cfg.image_size)
-                group = self.vlm.encode_images(pre)  # (g, tpi, W)
+                group = self.vlm.preprocess_and_encode(batch_imgs)
                 for pos, i in enumerate(idxs):
                     enc[i] = group[pos]
             # assemble per-row embeddings on device (no host round trip)

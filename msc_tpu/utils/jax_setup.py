@@ -26,6 +26,9 @@ def enable_compilation_cache(path: str | None = None):
 
     cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                        _DEFAULT_CACHE)
+    # separate cache namespaces per backend: CPU AOT artifacts compiled
+    # under one machine-feature set can SIGILL when loaded by another
+    cache_dir = os.path.join(cache_dir, jax.default_backend())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
