@@ -55,3 +55,22 @@ def test_config_serializable():
     json.dumps(d)
     assert d["lidar"]["dbscan_eps"] == 0.5
     assert d["model"]["vlm"]["page_size"] == 128
+
+
+def test_distill_tokenize_pairs():
+    from msc_tpu.training.distill import tokenize_pairs
+    from msc_tpu.models.tokenizer import ByteTokenizer, EOS_ID, PAD_ID
+
+    tok = ByteTokenizer()
+    pairs = [([{"role": "system", "content": "s"},
+               {"role": "user", "content": "q" * 50}],
+              "There are <target><cnt>2</cnt> <obj>cars</obj></target>.",
+              "gt")]
+    ids, mask = tokenize_pairs(pairs, tok, max_len=64)
+    assert ids.shape == (1, 64)
+    # loss mask covers exactly the target tokens (incl. EOS)
+    n_target = mask[0].sum()
+    assert n_target == len(pairs[0][1].encode()) + 1
+    # prompt tail-truncated to leave room for the target
+    assert (ids[0][mask[0]][-1]) == EOS_ID
+    assert not mask[0][0]
