@@ -97,8 +97,11 @@ class CaptionGenerator(BaseAgent):
 
     def answer_mqa_question(self, question: str,
                             structured_caption: Dict) -> str:
-        user = (f"Question: {question}\n\nScene Information:\n"
+        # scene info first, question LAST: prompts longer than the
+        # context window tail-truncate, and the question must survive
+        user = (f"Scene Information:\n"
                 f"{json.dumps(structured_caption, indent=2)}\n\n"
+                f"Question: {question}\n"
                 "Provide a precise answer using the correct XML format.")
         messages = [{"role": "system", "content": _MQA_SYSTEM},
                     {"role": "user", "content": user}]

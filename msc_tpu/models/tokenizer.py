@@ -68,6 +68,16 @@ class ByteTokenizer:
         ids.append(ASSISTANT_ID)
         return ids
 
+    @staticmethod
+    def truncate_head_tail(ids: List[int], limit: int) -> List[int]:
+        """Shared prompt truncation (serving AND training must agree or
+        the model trains on prompts it never sees at serve time): keep the
+        first quarter (system framing) + the most recent remainder."""
+        if len(ids) <= limit:
+            return ids
+        head = ids[: limit // 4]
+        return head + ids[-(limit - len(head)):]
+
     def pad_batch(self, seqs: List[List[int]], pad_to: int | None = None,
                   left: bool = False) -> np.ndarray:
         """Pad a ragged batch.  ``left=True`` pads at the front (the

@@ -185,8 +185,9 @@ class SemanticCaptioningPipeline:
         for q in questions:
             import json as _json
 
-            user = (f"Question: {q}\n\nScene Information:\n"
+            user = (f"Scene Information:\n"
                     f"{_json.dumps(caption, indent=2)}\n\n"
+                    f"Question: {q}\n"
                     "Provide a precise answer using the correct XML format.")
             calls.append(dict(
                 messages=[

@@ -121,15 +121,9 @@ class InferenceEngine:
     def _tokenize(self, req: Request) -> List[int]:
         ids = self.tokenizer.apply_chat_template(
             req.messages, num_image_tokens=self.cfg.tokens_per_image)
-        limit = _PROMPT_BUCKETS[-1]
-        if len(ids) > limit:
-            # head+tail truncation: keep the system framing and the most
-            # recent content (reference relies on Azure's 128k window;
-            # our default context is smaller).
-            head = ids[: limit // 4]
-            tail = ids[-(limit - limit // 4):]
-            ids = head + tail
-        return ids
+        # head+tail truncation (shared with training tokenization; the
+        # reference relies on Azure's 128k window, ours is smaller)
+        return self.tokenizer.truncate_head_tail(ids, _PROMPT_BUCKETS[-1])
 
     def generate_batch(self, requests: List[Request]) -> List[str]:
         """Run a homogeneous batch (same schema) through one

@@ -49,8 +49,9 @@ def build_mqa_dataset(num_scenes: int, holdout: int = 4):
         qs = mqa[mqa["sample_token"] == sample["sample_token"]]
         for _, row in qs.iterrows():
             answer = answer_mqa_from_caption(row["question"], caption)
-            user = (f"Question: {row['question']}\n\nScene Information:\n"
+            user = (f"Scene Information:\n"
                     f"{json.dumps(caption, indent=2)}\n\n"
+                    f"Question: {row['question']}\n"
                     "Provide a precise answer using the correct XML format.")
             messages = [{"role": "system", "content": _MQA_SYSTEM},
                         {"role": "user", "content": user}]
@@ -72,9 +73,10 @@ def tokenize_pairs(pairs, tokenizer, max_len: int):
     for i, (messages, answer, _gt) in enumerate(pairs):
         prompt = tokenizer.apply_chat_template(messages)
         target = tokenizer.encode(answer) + [EOS_ID]
-        # keep the tail of long prompts (the caption JSON + question)
-        room = max_len - len(target)
-        prompt = prompt[-room:] if len(prompt) > room else prompt
+        # SAME truncation as the serving engine (train/serve alignment),
+        # then fit prompt+target into max_len
+        prompt = tokenizer.truncate_head_tail(prompt, 2048)
+        prompt = tokenizer.truncate_head_tail(prompt, max_len - len(target))
         seq = prompt + target
         ids[i, : len(seq)] = seq
         mask[i, len(prompt): len(seq)] = True
@@ -114,7 +116,7 @@ def main():
     ap.add_argument("--scenes", type=int, default=24)
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--max-len", type=int, default=768)
+    ap.add_argument("--max-len", type=int, default=2176)
     ap.add_argument("--preset", default="msc-vlm-s")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--save", default=None)
@@ -139,8 +141,6 @@ def main():
 
     cfg = (VLMConfig() if args.preset == "msc-vlm-s"
            else vlm_preset(args.preset))
-    if cfg.max_seq_len < args.max_len:
-        args.max_len = cfg.max_seq_len
     tokenizer = ByteTokenizer(cfg.vocab_size)
 
     print(f"building dataset from {args.scenes} scenes...")
