@@ -82,6 +82,10 @@ class VLMConfig:
     max_seq_len: int = 2048
     rope_theta: float = 10000.0
     dtype: str = "bfloat16"
+    # Mixture-of-experts FFN (0 = dense SwiGLU).  Experts shard over the
+    # mesh "expert" axis (expert parallelism, SURVEY.md section 2.3 item 6).
+    n_experts: int = 0
+    moe_top_k: int = 2
     # KV cache paging
     page_size: int = 128
 
@@ -107,6 +111,9 @@ def vlm_preset(name: str) -> "VLMConfig":
         "msc-vlm-m": dict(vit_width=768, vit_depth=12, vit_heads=12,
                           d_model=1024, n_layers=12, n_heads=16,
                           n_kv_heads=4, head_dim=64, mlp_hidden=4096),
+        # sparse family member: 8 experts, top-2 routing; per-token FLOPs
+        # of the -s model with ~4x the FFN capacity
+        "msc-vlm-moe": dict(n_experts=8, moe_top_k=2, mlp_hidden=768),
     }
     if name not in presets:
         raise KeyError(f"unknown VLM preset: {name} "

@@ -66,18 +66,27 @@ def init_decoder_params(key, cfg: VLMConfig) -> Dict:
         "layers": [],
     }
     for i in range(cfg.n_layers):
-        lk = jax.random.split(keys[2 + i], 7)
-        params["layers"].append({
+        lk = jax.random.split(keys[2 + i], 8)
+        layer = {
             "ln1": jnp.ones((D,)),
             "ln2": jnp.ones((D,)),
             "wq": jax.random.normal(lk[0], (D, H * hd)) * D ** -0.5,
             "wk": jax.random.normal(lk[1], (D, KV * hd)) * D ** -0.5,
             "wv": jax.random.normal(lk[2], (D, KV * hd)) * D ** -0.5,
             "wo": jax.random.normal(lk[3], (H * hd, D)) * (H * hd) ** -0.5,
-            "w_gate": jax.random.normal(lk[4], (D, cfg.mlp_hidden)) * D ** -0.5,
-            "w_up": jax.random.normal(lk[5], (D, cfg.mlp_hidden)) * D ** -0.5,
-            "w_down": jax.random.normal(lk[6], (cfg.mlp_hidden, D)) * cfg.mlp_hidden ** -0.5,
-        })
+        }
+        M = cfg.mlp_hidden
+        if cfg.n_experts > 0:
+            E = cfg.n_experts
+            layer["router"] = jax.random.normal(lk[7], (D, E)) * D ** -0.5
+            layer["we_gate"] = jax.random.normal(lk[4], (E, D, M)) * D ** -0.5
+            layer["we_up"] = jax.random.normal(lk[5], (E, D, M)) * D ** -0.5
+            layer["we_down"] = jax.random.normal(lk[6], (E, M, D)) * M ** -0.5
+        else:
+            layer["w_gate"] = jax.random.normal(lk[4], (D, M)) * D ** -0.5
+            layer["w_up"] = jax.random.normal(lk[5], (D, M)) * D ** -0.5
+            layer["w_down"] = jax.random.normal(lk[6], (M, D)) * M ** -0.5
+        params["layers"].append(layer)
     return params
 
 
@@ -112,12 +121,44 @@ def _rope(x, positions, theta: float):
     return out.astype(x.dtype)
 
 
-def _mlp(layer, x, dtype):
+def _mlp(layer, x, dtype, top_k: int = 2):
+    if "router" in layer:
+        return _moe_ffn(layer, x, dtype, top_k)
     g = jnp.dot(x, layer["w_gate"].astype(dtype), preferred_element_type=jnp.float32)
     u = jnp.dot(x, layer["w_up"].astype(dtype), preferred_element_type=jnp.float32)
     h = (jax.nn.silu(g) * u).astype(dtype)
     return jnp.dot(h, layer["w_down"].astype(dtype),
                    preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _moe_ffn(layer, x, dtype, top_k: int):
+    """Top-k mixture-of-experts SwiGLU.
+
+    Dense-dispatch formulation: every expert computes on every token and a
+    top-k-masked softmax combines them.  Static shapes, exact top-k
+    semantics, and the expert dimension shards cleanly over the mesh
+    "expert" axis (GSPMD reduces the combine); a capacity-based gather
+    kernel is the round-2 efficiency upgrade for large E.
+
+    x: (B, T, D) -> (B, T, D).
+    """
+    E = layer["we_gate"].shape[0]
+    logits = jnp.dot(x, layer["router"].astype(dtype),
+                     preferred_element_type=jnp.float32)       # (B,T,E)
+    # top-k mask + renormalized softmax over the selected experts
+    thresh = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+    w = jax.nn.softmax(masked, axis=-1).astype(dtype)           # (B,T,E)
+
+    g = jnp.einsum("btd,edm->btem", x, layer["we_gate"].astype(dtype),
+                   preferred_element_type=jnp.float32)
+    u = jnp.einsum("btd,edm->btem", x, layer["we_up"].astype(dtype),
+                   preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(dtype)
+    y = jnp.einsum("btem,emd->bted", h, layer["we_down"].astype(dtype),
+                   preferred_element_type=jnp.float32)          # (B,T,E,D)
+    return jnp.einsum("bted,bte->btd", y.astype(dtype), w,
+                      preferred_element_type=jnp.float32).astype(dtype)
 
 
 def embed_tokens(params: Dict, ids: jax.Array, img_embeds: jax.Array | None,
@@ -207,7 +248,8 @@ def prefill(params: Dict, cfg: VLMConfig, ids: jax.Array,
         o = jnp.dot(o, layer["wo"].astype(dtype),
                     preferred_element_type=jnp.float32).astype(dtype)
         x = x + o
-        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
+                     cfg.moe_top_k)
 
     x = _rmsnorm(x, params["ln_f"])
     # logits at each sequence's last valid position
@@ -278,7 +320,8 @@ def prefill_contig(params: Dict, cfg: VLMConfig, ids: jax.Array,
             o = _attention_full(q, k, v, mask, dtype)
         x = x + jnp.dot(o, layer["wo"].astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
-        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
+                     cfg.moe_top_k)
 
     x = _rmsnorm(x[:, -1], params["ln_f"])  # left-padded: last col is real
     logits = jnp.dot(x, params["embed"].T.astype(dtype),
@@ -334,7 +377,8 @@ def decode_step_contig(params: Dict, cfg: VLMConfig, tokens: jax.Array,
         o = o.reshape(B, 1, cfg.n_heads * hd).astype(dtype)
         x = x + jnp.dot(o, layer["wo"].astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
-        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
+                     cfg.moe_top_k)
 
     x = _rmsnorm(x, params["ln_f"])[:, 0]
     logits = jnp.dot(x, params["embed"].T.astype(dtype),
@@ -404,7 +448,8 @@ def decode_step(params: Dict, cfg: VLMConfig, tokens: jax.Array,
         o = jnp.dot(o, layer["wo"].astype(dtype),
                     preferred_element_type=jnp.float32).astype(dtype)
         x = x + o
-        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
+                     cfg.moe_top_k)
 
     x = _rmsnorm(x, params["ln_f"])[:, 0]
     logits = jnp.dot(x, params["embed"].T.astype(dtype),

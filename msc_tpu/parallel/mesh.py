@@ -26,30 +26,45 @@ from msc_tpu.config import MeshConfig
 
 
 def make_mesh(data: int = 1, model: int = 1,
-              devices: Optional[list] = None) -> Mesh:
-    """Build a (data, model) mesh.  data*model must equal the device count
-    (pass devices explicitly to use a subset)."""
+              devices: Optional[list] = None,
+              expert: int = 1) -> Mesh:
+    """Build a (data, model[, expert]) mesh.  The axis product must equal
+    the device count (pass devices explicitly to use a subset)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    assert data * model * expert == n, \
+        f"mesh {data}x{model}x{expert} != {n} devices"
+    if expert > 1:
+        arr = np.asarray(devices).reshape(data, model, expert)
+        return Mesh(arr, ("data", "model", "expert"))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 
-def _dec_layer_specs() -> Dict[str, P]:
+def _dec_layer_specs(layer: Dict, has_expert_axis: bool) -> Dict[str, P]:
     """Tensor-parallel partition specs for one decoder layer: attention
     heads and MLP hidden shard over ``model``; residual-dim axes stay
-    replicated so layernorms need no collectives."""
-    return {
+    replicated so layernorms need no collectives.  MoE layers shard the
+    expert dimension over the ``expert`` axis when the mesh has one
+    (expert parallelism), else over ``model``."""
+    specs = {
         "ln1": P(), "ln2": P(),
         "wq": P(None, "model"),
         "wk": P(None, "model"),
         "wv": P(None, "model"),
         "wo": P("model", None),
-        "w_gate": P(None, "model"),
-        "w_up": P(None, "model"),
-        "w_down": P("model", None),
     }
+    if "router" in layer:
+        e_axis = "expert" if has_expert_axis else "model"
+        specs["router"] = P()
+        specs["we_gate"] = P(e_axis, None, None)
+        specs["we_up"] = P(e_axis, None, None)
+        specs["we_down"] = P(e_axis, None, None)
+    else:
+        specs["w_gate"] = P(None, "model")
+        specs["w_up"] = P(None, "model")
+        specs["w_down"] = P("model", None)
+    return specs
 
 
 def _vit_block_specs() -> Dict[str, P]:
@@ -67,12 +82,15 @@ def vlm_param_specs(params: Dict) -> Dict:
     """PartitionSpec tree matching ``init_vlm_params`` output."""
     dec = params["dec"]
     vit = params["vit"]
+    has_expert = False
+    # callers may pass a mesh later; detect via thread-local not needed —
+    # spec choice keys off the axis set at shard time (see make_vlm_shardings)
     return {
         "dec": {
             "embed": P(),          # replicated (tied LM head)
             "ln_f": P(),
             "img_proj": P(),
-            "layers": [_dec_layer_specs() for _ in dec["layers"]],
+            "layers": [_dec_layer_specs(l, has_expert) for l in dec["layers"]],
         },
         "vit": {
             "patch_proj": P(), "patch_bias": P(), "pos_embed": P(),
@@ -85,6 +103,14 @@ def vlm_param_specs(params: Dict) -> Dict:
 def make_vlm_shardings(params: Dict, mesh: Mesh) -> Any:
     """NamedSharding tree for the VLM parameter pytree."""
     specs = vlm_param_specs(params)
+    if "expert" in mesh.axis_names:
+        e = "expert"
+        for lspec, layer in zip(specs["dec"]["layers"],
+                                params["dec"]["layers"]):
+            if "router" in layer:
+                lspec["we_gate"] = P(e, None, None)
+                lspec["we_up"] = P(e, None, None)
+                lspec["we_down"] = P(e, None, None)
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s), specs,
         is_leaf=lambda x: isinstance(x, P))

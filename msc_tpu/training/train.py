@@ -67,7 +67,8 @@ def forward_logits(params: Dict, cfg: VLMConfig, ids: jax.Array,
         o = _attention_full(q, k, v, mask, dtype)
         x = x + jnp.dot(o, layer["wo"].astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
-        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype)
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
+                     cfg.moe_top_k)
 
     x = _rmsnorm(x, dec["ln_f"])
     return jnp.dot(x, dec["embed"].T.astype(dtype),
