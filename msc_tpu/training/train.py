@@ -51,7 +51,9 @@ def forward_logits(params: Dict, cfg: VLMConfig, ids: jax.Array,
     mask = jnp.tril(jnp.ones((T, T), bool))[None] & valid[:, None, :]
 
     dec = params["dec"]
-    for layer in dec["layers"]:
+
+    @jax.checkpoint  # rematerialize per layer: long-seq activations (esp.
+    def _layer(x, layer):  # the (B,H,T,T) scores) dominate training HBM
         h = _rmsnorm(x, layer["ln1"])
         q = jnp.dot(h, layer["wq"].astype(dtype),
                     preferred_element_type=jnp.float32).astype(dtype)
@@ -67,8 +69,11 @@ def forward_logits(params: Dict, cfg: VLMConfig, ids: jax.Array,
         o = _attention_full(q, k, v, mask, dtype)
         x = x + jnp.dot(o, layer["wo"].astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
-        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
-                     cfg.moe_top_k)
+        return x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
+                        cfg.moe_top_k)
+
+    for layer in dec["layers"]:
+        x = _layer(x, layer)
 
     x = _rmsnorm(x, dec["ln_f"])
     return jnp.dot(x, dec["embed"].T.astype(dtype),
