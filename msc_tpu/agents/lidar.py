@@ -38,12 +38,10 @@ from msc_tpu.ops import (
     rasterize_bev,
     decorate_semantic_bev,
     render_cluster_views,
-    voxel_cluster,
 )
-from msc_tpu.ops.boxgeom import DIR8, direction_8way_host
+from msc_tpu.ops.boxgeom import direction_8way_host
 from msc_tpu.ops.splat import (
     gather_cluster_points,
-    tile_cluster_grids,
     tile_cluster_grids_device,
 )
 from msc_tpu.serving.analytic import DET_MARKER

@@ -36,7 +36,6 @@ import numpy as np
 
 try:  # Optional; real-dataset path only.
     from nuscenes.nuscenes import NuScenes  # type: ignore
-    from nuscenes.utils.data_classes import LidarPointCloud  # type: ignore
 
     NUSCENES_AVAILABLE = True
 except Exception:  # pragma: no cover - devkit not installed in CI image

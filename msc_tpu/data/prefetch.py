@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 from collections import OrderedDict
-from typing import Dict, Iterable, Iterator, List, Optional
+from typing import Dict, Iterable, Iterator, List
 
 
 class PrefetchLoader:

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
-import numpy as np
 import pandas as pd
 
 from msc_tpu.eval.evaluator import ComprehensiveMQAEvaluator

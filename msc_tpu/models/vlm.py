@@ -23,7 +23,7 @@ from msc_tpu.config import VLMConfig
 from msc_tpu.models import decoder as dec
 from msc_tpu.models import vit as vit_mod
 from msc_tpu.models.sampling import FSM, sample_token
-from msc_tpu.models.tokenizer import BOS_ID, EOS_ID, IMG_ID, PAD_ID
+from msc_tpu.models.tokenizer import EOS_ID, IMG_ID, PAD_ID
 
 
 def init_vlm_params(key, cfg: VLMConfig) -> Dict:

@@ -12,7 +12,6 @@ import functools
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from msc_tpu.ops.bev import rasterize_bev
 from msc_tpu.ops.clustering import voxel_cluster

@@ -22,8 +22,6 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from msc_tpu.config import MeshConfig
-
 
 def make_mesh(data: int = 1, model: int = 1,
               devices: Optional[list] = None,

@@ -17,9 +17,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Any, List, Optional, Sequence
-
-import numpy as np
+from typing import Any, List, Sequence
 
 from msc_tpu.serving.client import Backend
 

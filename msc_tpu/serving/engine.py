@@ -25,7 +25,6 @@ from msc_tpu.config import VLMConfig
 from msc_tpu.models import decoder as dec
 from msc_tpu.models.tokenizer import ByteTokenizer, PAD_ID
 from msc_tpu.models.vlm import VLM, init_vlm_params
-from msc_tpu.ops.image import preprocess_images
 from msc_tpu.serving import structured
 from msc_tpu.utils.device_lock import DEVICE_LOCK
 

@@ -26,7 +26,7 @@ def build_mqa_dataset(num_scenes: int, holdout: int = 4):
     Returns (train_pairs, eval_pairs); eval scenes are disjoint.
     """
     from msc_tpu.agents.caption import _MQA_SYSTEM
-    from msc_tpu.data.mqa import count_objects, generate_mock_mqa
+    from msc_tpu.data.mqa import generate_mock_mqa
     from msc_tpu.data.nuscenes import MockNuScenesLoader
     from msc_tpu.pipeline import SemanticCaptioningPipeline
     from msc_tpu.serving.analytic import AnalyticBackend, answer_mqa_from_caption

@@ -9,8 +9,7 @@ explicit output shardings; XLA GSPMD inserts the gradient all-reduces.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
