@@ -151,6 +151,24 @@ def generate_mock_mqa(loader, num_scenes: int = 2,
                         "question_type": "existence_camera",
                     })
                     break  # one object per camera keeps the set compact
+            # distance question for the nearest object of one category
+            # (exercises the <dst> tag paths; the evaluator scores distance
+            # questions by their <target> content, parity with the
+            # reference's object-only compare)
+            if total:
+                obj = sorted(total)[0]
+                dists = [float(np.hypot(a["translation"][0],
+                                        a["translation"][1]))
+                         for a in anns
+                         if CATEGORY_TO_MQA_OBJECT.get(a["category_name"]) == obj]
+                rows.append({
+                    "sample_token": token,
+                    "question": (f"How far away is the nearest "
+                                 f"<obj>{obj}</obj>?"),
+                    "answer": (f"The nearest <obj>{obj}</obj> is "
+                               f"<dst>{min(dists):.1f}m</dst> away."),
+                    "question_type": "distance",
+                })
     return pd.DataFrame(rows)
 
 

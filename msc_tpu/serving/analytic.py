@@ -130,17 +130,30 @@ def answer_mqa_from_caption(question: str, caption: Dict) -> str:
     target_cam = normalize_camera(cams[0]) if cams else None
 
     count = 0
+    distances = []
     if target_obj is not None:
         want = normalize_object_name(target_obj)
         for o in caption.get("objects", []):
             got = normalize_object_name(o.get("category", ""))
             if got != want:
                 continue
+            pos = str(o.get("position", "")).lower().replace("_", " ")
+            m = re.search(r"([\d.]+)\s*m", pos)
+            if m:
+                distances.append(float(m.group(1)))
             if target_cam is not None:
-                pos = str(o.get("position", "")).lower().replace("_", " ")
                 if normalize_camera(pos.split(",")[0]) != target_cam:
                     continue
             count += 1
+
+    # distance questions answer with the nearest matching object's range
+    if re.search(r"\bhow far\b|\bdistance\b", question, re.IGNORECASE):
+        obj_word = target_obj if target_obj else "object"
+        if distances:
+            return (f"The nearest <obj>{obj_word}</obj> is "
+                    f"<dst>{min(distances):.1f}m</dst> away.")
+        return (f"There is no <obj>{obj_word}</obj> visible to measure "
+                "a distance to.")
 
     obj_word = target_obj if target_obj else "objects"
     target = f"<target><cnt>{count}</cnt> <obj>{obj_word}</obj></target>"

@@ -123,8 +123,11 @@ def test_mock_mqa_generation(mock_loader):
     df = mqa.generate_mock_mqa(mock_loader, num_scenes=1, samples_per_scene=1)
     assert {"sample_token", "question", "answer", "question_type"} <= set(df.columns)
     assert len(df) > 3
-    # Answers must carry well-formed target tags.
-    assert df["answer"].str.contains("<target><cnt>").all()
+    # Count/existence answers carry target tags; distance answers carry dst.
+    is_dist = df["question_type"] == "distance"
+    assert df.loc[~is_dist, "answer"].str.contains("<target><cnt>").all()
+    assert is_dist.any()
+    assert df.loc[is_dist, "answer"].str.contains("<dst>").all()
 
 
 def test_mqa_cam_sextants():

@@ -216,3 +216,16 @@ def test_make_backend_kinds():
     assert isinstance(make_backend(cfg), FakeBackend)
     cfg.backend.kind = "analytic"
     assert isinstance(make_backend(cfg), AnalyticBackend)
+
+
+def test_analytic_distance_answer():
+    caption = {"objects": [
+        {"category": "car", "position": "front, 12.3m"},
+        {"category": "car", "position": "back, 8.1m"},
+    ]}
+    a = answer_mqa_from_caption(
+        "How far away is the nearest <obj>car</obj>?", caption)
+    assert "<dst>8.1m</dst>" in a
+    a = answer_mqa_from_caption(
+        "How far away is the nearest <obj>bus</obj>?", caption)
+    assert "no <obj>bus</obj>" in a
