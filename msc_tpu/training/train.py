@@ -29,11 +29,15 @@ class TrainState(NamedTuple):
 
 
 def forward_logits(params: Dict, cfg: VLMConfig, ids: jax.Array,
-                   images: Optional[jax.Array]) -> jax.Array:
+                   images: Optional[jax.Array],
+                   seq_mesh=None) -> jax.Array:
     """Teacher-forced logits over the whole sequence (training path; the
     serving path with its paged cache lives in msc_tpu/models/decoder.py).
 
     ids: (B, T); images: (B*V, S, S, 3) or None.
+    seq_mesh: optional Mesh with a ``seq`` axis — attention runs as ring
+    attention with the sequence sharded across devices (sequence
+    parallelism for long-context training; msc_tpu/parallel/ring_attention).
     Returns (B, T, vocab) float32 logits.
     """
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -65,7 +69,13 @@ def forward_logits(params: Dict, cfg: VLMConfig, ids: jax.Array,
         k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
                   cfg.rope_theta)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        o = _attention_full(q, k, v, mask, dtype)
+        if seq_mesh is not None:
+            from msc_tpu.parallel.ring_attention import ring_attention
+
+            o = ring_attention(q, k, v, valid, seq_mesh, axis="seq")
+            o = o.reshape(B, T, cfg.n_heads * cfg.head_dim).astype(dtype)
+        else:
+            o = _attention_full(q, k, v, mask, dtype)
         x = x + jnp.dot(o, layer["wo"].astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
         return x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,

@@ -40,3 +40,31 @@ def test_ring_matches_reference(seq_devices):
     want = _reference(q, k, v, valid_j)
     rows = valid
     np.testing.assert_allclose(got[rows], want[rows], rtol=2e-4, atol=2e-4)
+
+
+def test_seq_parallel_forward_matches():
+    """Teacher-forced forward with ring attention (seq-sharded) must match
+    the single-device forward."""
+    from jax.sharding import Mesh
+
+    from msc_tpu.config import VLMConfig
+    from msc_tpu.models.tokenizer import PAD_ID
+    from msc_tpu.models.vlm import init_vlm_params
+    from msc_tpu.training.train import forward_logits
+
+    cfg = VLMConfig(
+        image_size=28, patch_size=14, vit_width=64, vit_depth=2, vit_heads=4,
+        d_model=128, n_layers=2, n_heads=8, n_kv_heads=2, head_dim=16,
+        mlp_hidden=256, max_seq_len=256, page_size=16, dtype="float32")
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = np.asarray(rng.integers(32, 120, size=(2, 128)), np.int32)
+    ids[:, -9:] = PAD_ID
+    ids_j = jnp.asarray(ids)
+
+    base = np.asarray(forward_logits(params, cfg, ids_j, None))
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("seq",))
+    sp = np.asarray(forward_logits(params, cfg, ids_j, None, seq_mesh=mesh))
+    valid = ids != PAD_ID
+    np.testing.assert_allclose(sp[valid], base[valid], rtol=2e-3, atol=2e-3)
