@@ -43,9 +43,16 @@ class SemanticCaptioningPipeline:
 
     def __init__(self, config: Optional[ModelConfig] = None,
                  lidar_config: Optional[LiDARConfig] = None,
-                 backend=None, verbose: bool = True):
+                 backend=None, verbose: bool = True,
+                 parallel_l1: bool = False):
+        """parallel_l1: dispatch the independent Layer-1 agents (camera,
+        lidar, scene-graph) on threads — the reference runs them strictly
+        serially (`src/pipeline.py:112-131`).  Off by default here because
+        the dev tunnel degrades under concurrent device access (PERF.md);
+        pair with a ContinuousBatcher backend on direct-attached TPUs."""
         self.config = config or ModelConfig()
         self.lidar_config = lidar_config or LiDARConfig()
+        self.parallel_l1 = parallel_l1
         self.verbose = verbose
         self.timer = StageTimer()
         from msc_tpu.utils.jax_setup import warmup_device_transfer
@@ -97,28 +104,42 @@ class SemanticCaptioningPipeline:
 
         # ---- Layer 1: content transformation with modality dropout ----
         self._log("Layer 1: Content Transformation...")
-        layer1_outputs: List[Dict] = []
+        tasks = []  # (name, thunk) in the reference's fixed output order
 
         if modality_config.use_cameras and images:
             if modality_config.camera_indices:
                 images = [images[i] for i in modality_config.camera_indices]
                 camera_names = [camera_names[i]
                                 for i in modality_config.camera_indices]
-            with self.timer.stage("layer1.camera"):
-                layer1_outputs.append(
-                    self.camera_agent.process(images, camera_names))
-            self._log(f"  CameraAgent processed {len(images)} cameras")
-
+            tasks.append(("layer1.camera",
+                          lambda: self.camera_agent.process(images,
+                                                            camera_names)))
         if modality_config.use_lidar and point_cloud is not None:
-            with self.timer.stage("layer1.lidar"):
-                layer1_outputs.append(self.lidar_agent.process(point_cloud))
-            self._log(f"  LiDARAgent processed {len(point_cloud)} points")
-
+            tasks.append(("layer1.lidar",
+                          lambda: self.lidar_agent.process(point_cloud)))
         if modality_config.use_annotations and annotations:
-            with self.timer.stage("layer1.scene_graph"):
-                layer1_outputs.append(
-                    self.scene_graph_agent.process(annotations))
-            self._log(f"  SceneGraphAgent processed {len(annotations)} objects")
+            tasks.append(("layer1.scene_graph",
+                          lambda: self.scene_graph_agent.process(annotations)))
+
+        if self.parallel_l1 and len(tasks) > 1:
+            # the L1 agents are mutually independent; run them concurrently
+            # (output order stays camera, lidar, scene_graph)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def run(named):
+                name, thunk = named
+                with self.timer.stage(name):
+                    return thunk()
+
+            with ThreadPoolExecutor(len(tasks),
+                                    thread_name_prefix="msc-l1") as pool:
+                layer1_outputs = list(pool.map(run, tasks))
+        else:
+            layer1_outputs = []
+            for name, thunk in tasks:
+                with self.timer.stage(name):
+                    layer1_outputs.append(thunk())
+                self._log(f"  {name} done")
 
         if len(layer1_outputs) > 1:
             with self.timer.stage("layer1.cross_modal"):

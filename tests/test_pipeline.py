@@ -201,3 +201,28 @@ def _minimal_caption():
                         "location_type": "urban"},
         "safety_critical": [],
     }
+
+
+def test_parallel_l1_matches_serial(mock_sample):
+    """parallel_l1=True must produce the same Layer-1 agent order and the
+    same caption as the serial path (analytic backend is deterministic)."""
+    from msc_tpu.config import ModelConfig
+
+    serial = SemanticCaptioningPipeline(ModelConfig(),
+                                        backend=AnalyticBackend(),
+                                        verbose=False)
+    par = SemanticCaptioningPipeline(ModelConfig(),
+                                     backend=AnalyticBackend(),
+                                     verbose=False, parallel_l1=True)
+    kw = dict(images=mock_sample["images"],
+              camera_names=mock_sample["camera_names"],
+              point_cloud=mock_sample["point_cloud"],
+              annotations=mock_sample["annotations"])
+    a = serial.process_scene(**kw)
+    b = par.process_scene(**kw)
+    order_a = [o["agent"] for o in
+               a["pipeline_stages"]["layer1_content_transformation"]]
+    order_b = [o["agent"] for o in
+               b["pipeline_stages"]["layer1_content_transformation"]]
+    assert order_a == order_b
+    assert a["structured_caption"] == b["structured_caption"]
