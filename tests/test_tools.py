@@ -58,3 +58,10 @@ def test_prefetch_loader():
     # passthrough attribute
     assert pre.get_scene_list()
     pre.close()
+
+
+def test_training_cli():
+    r = _run(["msc_tpu.training.run", "--steps", "3", "--scenes", "2",
+              "--preset", "msc-vlm-tiny"])
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "loss" in r.stdout
