@@ -229,3 +229,47 @@ def test_analytic_distance_answer():
     a = answer_mqa_from_caption(
         "How far away is the nearest <obj>bus</obj>?", caption)
     assert "no <obj>bus</obj>" in a
+
+
+def test_paged_pool_reuse_across_calls():
+    """Sequential paged calls reuse the physical pool; results must be
+    independent of stale K/V from prior calls."""
+    eng = InferenceEngine(TINY, seed=0, num_pages=64, max_pages_per_seq=32,
+                          kv_layout="paged")
+    r1 = Request(messages=[{"role": "user", "content": "first prompt"}],
+                 max_new_tokens=8)
+    r2 = Request(messages=[{"role": "user", "content": "second prompt!"}],
+                 max_new_tokens=8)
+    out_a = eng.generate_batch([r1])[0]
+    out_b = eng.generate_batch([r2])[0]
+    # fresh engine, same second prompt -> identical result
+    fresh = InferenceEngine(TINY, seed=0, num_pages=64, max_pages_per_seq=32,
+                            kv_layout="paged")
+    assert fresh.generate_batch([r2])[0] == out_b
+    # and the first call is reproducible after the pool was reused
+    assert eng.generate_batch([r1])[0] == out_a
+
+
+def test_evaluator_per_tag_buckets():
+    from msc_tpu.eval.evaluator import ComprehensiveMQAEvaluator
+    import pandas as pd
+
+    df = pd.DataFrame([
+        {"sample_token": "s", "question_type": "q",
+         "question": "How many <obj>cars</obj> in <cam>front</cam>?",
+         "ground_truth_answer": "There are <target><cnt>2</cnt> <obj>cars</obj></target>.",
+         "predicted_answer": "There are <target><cnt>2</cnt> <obj>cars</obj></target>."},
+        {"sample_token": "s", "question_type": "q",
+         "question": "How far is the <obj>bus</obj> at <dst>10m</dst>?",
+         "ground_truth_answer": "It is <dst>10m</dst> away.",
+         "predicted_answer": "It is <dst>12m</dst> away."},
+    ])
+    ev = ComprehensiveMQAEvaluator(mqa_df=df.rename(
+        columns={"ground_truth_answer": "answer"})[
+        ["sample_token", "question", "answer", "question_type"]])
+    m = ev.compute_metrics(df)
+    assert m.per_tag_accuracy["obj:car"]["accuracy"] == 1.0
+    assert m.per_tag_accuracy["cam:front"]["count"] == 1
+    assert "dst:10m" in m.per_tag_accuracy
+    # dst-only answers score by their (empty) target sets — reference parity
+    assert m.per_tag_accuracy["obj:bus"]["accuracy"] == 1.0
