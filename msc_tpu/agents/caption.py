@@ -55,6 +55,24 @@ A: "<ans>yes</ans>, there is <target><cnt>1</cnt> <obj>pedestrian</obj></target>
 Be precise with counts and use the exact XML format."""
 
 
+def build_mqa_messages(question: str, structured_caption: Dict) -> list:
+    """The ONE canonical MQA prompt (messages list).
+
+    Shared by the serial path (``answer_mqa_question``), the batched path
+    (``pipeline.answer_mqa_batch``), and the self-distillation dataset
+    builder (``training/distill.py``) — any drift between them means the
+    model is evaluated on a prompt format it was never trained on.
+    """
+    # scene info first, question LAST: prompts longer than the context
+    # window tail-truncate, and the question must survive
+    user = (f"Scene Information:\n"
+            f"{json.dumps(structured_caption, indent=2)}\n\n"
+            f"Question: {question}\n"
+            "Provide a precise answer using the correct XML format.")
+    return [{"role": "system", "content": _MQA_SYSTEM},
+            {"role": "user", "content": user}]
+
+
 class CaptionGenerator(BaseAgent):
     """Generates final structured captions and answers MQA questions."""
 
@@ -97,14 +115,7 @@ class CaptionGenerator(BaseAgent):
 
     def answer_mqa_question(self, question: str,
                             structured_caption: Dict) -> str:
-        # scene info first, question LAST: prompts longer than the
-        # context window tail-truncate, and the question must survive
-        user = (f"Scene Information:\n"
-                f"{json.dumps(structured_caption, indent=2)}\n\n"
-                f"Question: {question}\n"
-                "Provide a precise answer using the correct XML format.")
-        messages = [{"role": "system", "content": _MQA_SYSTEM},
-                    {"role": "user", "content": user}]
+        messages = build_mqa_messages(question, structured_caption)
         try:
             return self.call_llm(messages, temperature=0.2, task="mqa_answer",
                                  max_new_tokens=64)

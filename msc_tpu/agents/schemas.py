@@ -57,13 +57,23 @@ class CaptionEnvironment(BaseModel):
 
 
 class StructuredCaption(BaseModel):
-    """Complete structured caption for autonomous driving scene"""
-    scene_summary: str = Field(description="Brief overall description of the scene")
+    """Complete structured caption for autonomous driving scene.
+
+    The ``json_schema_extra`` size bounds below do NOT change the wire
+    format or validation (byte-compatibility contract); they parameterize
+    the constrained-decoding DFA (`msc_tpu/serving/structured.py`):
+    real scenes carry 23-69 annotations (SURVEY.md section 6), so
+    ``objects`` must hold >=32 entries on the VLM path.
+    """
+    scene_summary: str = Field(description="Brief overall description of the scene",
+                               json_schema_extra={"maxLength": 160})
     ego_vehicle: EgoVehicle = Field(description="Ego vehicle state and action")
-    objects: List[CaptionSceneObject] = Field(description="List of detected objects in the scene")
+    objects: List[CaptionSceneObject] = Field(description="List of detected objects in the scene",
+                                              json_schema_extra={"maxItems": 32})
     road_structure: CaptionRoadStructure = Field(description="Road structure and layout")
     environment: CaptionEnvironment = Field(description="Environmental conditions")
-    safety_critical: List[str] = Field(description="List of safety-relevant observations")
+    safety_critical: List[str] = Field(description="List of safety-relevant observations",
+                                       json_schema_extra={"maxItems": 12})
 
 
 # ---------------------------------------------------------------------------
@@ -170,10 +180,17 @@ class SuggestionResponse(BaseModel):
     suggestions: List[str] = Field(
         description="List of specific improvement suggestions")
     reasoning: str = Field(
-        description="Brief explanation of the suggestions or why no suggestions are needed")
+        description="Brief explanation of the suggestions or why no suggestions are needed",
+        json_schema_extra={"maxLength": 160})
 
 
 class RefinedFeaturesResponse(BaseModel):
-    """Structured response from Editor agent"""
-    caption: str = Field(description="The refined caption text")
+    """Structured response from Editor agent.
+
+    ``caption`` carries the full refined prose — the DFA string bound is
+    raised well above the 48-byte default so the VLM path's refinement
+    loop is not structurally capped to one sentence.
+    """
+    caption: str = Field(description="The refined caption text",
+                         json_schema_extra={"maxLength": 640})
     changes_made: List[str] = Field(description="List of key changes applied")

@@ -31,10 +31,15 @@ class FSM(NamedTuple):
     dist: jax.Array
 
 
-def sample_token(logits: jax.Array, temperature: float, rng: jax.Array,
+def sample_token(logits: jax.Array, temperature, rng: jax.Array,
                  fsm: Optional[FSM], fsm_state: Optional[jax.Array],
                  eos_id: int, length_bias: float = 0.0):
     """Sample next tokens (B,) from logits (B, V), applying DFA masks.
+
+    ``temperature`` is a (B,) array (or scalar) so heterogeneous batches
+    keep each request's own temperature — the batching layers coalesce
+    calls from different agents (0.2/0.3/0.7) into one device program.
+    Rows with temperature <= 0 decode greedily.
 
     ``length_bias`` > 0 adds -length_bias * dist(next_state) to each
     allowed token's logit — a shortest-valid-completion prior that keeps
@@ -55,10 +60,13 @@ def sample_token(logits: jax.Array, temperature: float, rng: jax.Array,
             logits = logits - length_bias * nxt_dist
         logits = jnp.where(allowed, logits, -jnp.inf)
 
-    if temperature <= 0.0:
-        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    else:
-        tokens = jax.random.categorical(rng, logits / temperature).astype(jnp.int32)
+    temps = jnp.asarray(temperature, jnp.float32)
+    if temps.ndim == 0:
+        temps = jnp.broadcast_to(temps, (logits.shape[0],))
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    sampled = jax.random.categorical(
+        rng, logits / jnp.maximum(temps, 1e-6)[:, None]).astype(jnp.int32)
+    tokens = jnp.where(temps <= 0.0, greedy, sampled)
 
     if fsm is not None:
         nxt = jnp.take_along_axis(fsm.trans[fsm_state], tokens[:, None], 1)[:, 0]

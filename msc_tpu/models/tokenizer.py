@@ -69,14 +69,74 @@ class ByteTokenizer:
         return ids
 
     @staticmethod
-    def truncate_head_tail(ids: List[int], limit: int) -> List[int]:
+    def truncate_head_tail(ids: List[int], limit: int,
+                           img_id: int | None = None) -> List[int]:
         """Shared prompt truncation (serving AND training must agree or
         the model trains on prompts it never sees at serve time): keep the
-        first quarter (system framing) + the most recent remainder."""
+        first quarter (system framing) + the most recent remainder.
+
+        When ``img_id`` is given, truncation is image-aware: IMG
+        placeholder runs are atomic (a cut through a run would silently
+        shift every later image onto the wrong ViT embedding — the k-th
+        surviving placeholder consumes the k-th embedding row).  All runs
+        are kept and only the text between them is head/tail-truncated;
+        if the images alone exceed the budget, whole TRAILING images are
+        dropped (prefix order keeps the placeholder->embedding mapping
+        exact; the engine's extra embedding rows are simply unused).
+        """
         if len(ids) <= limit:
             return ids
-        head = ids[: limit // 4]
-        return head + ids[-(limit - len(head)):]
+        if img_id is None or img_id not in ids:
+            head = ids[: limit // 4]
+            return head + ids[-(limit - len(head)):]
+
+        # split into alternating text spans and atomic IMG runs
+        segs: List[tuple] = []  # (is_img, list)
+        i = 0
+        n = len(ids)
+        while i < n:
+            j = i
+            is_img = ids[i] == img_id
+            while j < n and (ids[j] == img_id) == is_img:
+                j += 1
+            segs.append((is_img, ids[i:j]))
+            i = j
+
+        img_total = sum(len(s) for im, s in segs if im)
+        min_text = 64  # never squeeze the text below this
+        while img_total > limit - min_text:
+            # drop the LAST image run entirely
+            for k in range(len(segs) - 1, -1, -1):
+                if segs[k][0]:
+                    img_total -= len(segs[k][1])
+                    del segs[k]
+                    break
+            else:
+                break
+
+        text_budget = limit - img_total
+        text = [s for im, s in segs if not im]
+        text_total = sum(len(s) for s in text)
+        if text_total <= text_budget:
+            return [t for _, s in segs for t in s]
+
+        # head/tail over the concatenated text, then re-splice around the
+        # (kept) image runs: walk segments, spending from a head budget
+        # first and a tail budget at the end
+        head_keep = text_budget // 4
+        tail_keep = text_budget - head_keep
+        # positions of text tokens in concatenated-text coordinates
+        out: List[int] = []
+        seen = 0
+        for im, s in segs:
+            if im:
+                out.extend(s)
+                continue
+            for t in s:
+                if seen < head_keep or seen >= text_total - tail_keep:
+                    out.append(t)
+                seen += 1
+        return out
 
     def pad_batch(self, seqs: List[List[int]], pad_to: int | None = None,
                   left: bool = False) -> np.ndarray:

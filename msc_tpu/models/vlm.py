@@ -57,14 +57,13 @@ class VLM:
         # time); the cache is donated so the paged pools update in place.
         self._generate_fn = jax.jit(
             functools.partial(_generate_impl, cfg),
-            static_argnames=("max_new_tokens", "temperature", "use_fsm",
-                             "length_bias"),
+            static_argnames=("max_new_tokens", "use_fsm", "length_bias"),
             donate_argnames=("cache",),
         )
         self._generate_contig_fn = jax.jit(
             functools.partial(_generate_contig_impl, cfg),
-            static_argnames=("t_max", "max_new_tokens", "temperature",
-                             "use_fsm", "length_bias"),
+            static_argnames=("t_max", "max_new_tokens", "use_fsm",
+                             "length_bias"),
         )
 
     def encode_images(self, images: jax.Array) -> jax.Array:
@@ -77,7 +76,7 @@ class VLM:
 
     def generate(self, ids: jax.Array, img_embeds: Optional[jax.Array],
                  cache: dec.KVCache, rng: jax.Array,
-                 max_new_tokens: int = 128, temperature: float = 0.0,
+                 max_new_tokens: int = 128, temperature=0.0,
                  use_fsm: bool = False,
                  fsm_trans: Optional[jax.Array] = None,
                  fsm_accept: Optional[jax.Array] = None,
@@ -87,19 +86,22 @@ class VLM:
 
         ids: (B, T) right-padded prompt, T multiple of page_size.
         img_embeds: (B, N_img, vit_width) or None.
+        temperature: scalar or (B,) per-row temperatures (traced, so
+        heterogeneous-temperature batches share one compiled program).
         cache: pre-allocated KVCache whose block tables cover
                T + max_new_tokens positions.  The cache is DONATED.
         """
+        temps = _as_temps(temperature, ids.shape[0])
         return self._generate_fn(
-            self.params, ids, img_embeds, cache, rng,
+            self.params, ids, img_embeds, cache, rng, temps,
             fsm_trans, fsm_accept, fsm_dist,
-            max_new_tokens=max_new_tokens, temperature=temperature,
+            max_new_tokens=max_new_tokens,
             use_fsm=use_fsm, length_bias=length_bias)
 
 
     def generate_contig(self, ids: jax.Array, img_embeds: Optional[jax.Array],
                         rng: jax.Array, t_max: int,
-                        max_new_tokens: int = 128, temperature: float = 0.0,
+                        max_new_tokens: int = 128, temperature=0.0,
                         use_fsm: bool = False,
                         fsm_trans: Optional[jax.Array] = None,
                         fsm_accept: Optional[jax.Array] = None,
@@ -109,19 +111,28 @@ class VLM:
 
         ids: (B, T) LEFT-padded prompt.  t_max >= T + max_new_tokens.
         """
+        temps = _as_temps(temperature, ids.shape[0])
         return self._generate_contig_fn(
-            self.params, ids, img_embeds, rng,
+            self.params, ids, img_embeds, rng, temps,
             fsm_trans, fsm_accept, fsm_dist,
             t_max=t_max, max_new_tokens=max_new_tokens,
-            temperature=temperature, use_fsm=use_fsm,
-            length_bias=length_bias)
+            use_fsm=use_fsm, length_bias=length_bias)
+
+
+def _as_temps(temperature, batch: int) -> jax.Array:
+    """Scalar-or-vector temperature -> (B,) float32 array."""
+    t = jnp.asarray(temperature, jnp.float32)
+    if t.ndim == 0:
+        t = jnp.broadcast_to(t, (batch,))
+    return t
 
 
 def _generate_contig_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
                           img_embeds: Optional[jax.Array], rng: jax.Array,
+                          temperature: jax.Array,
                           fsm_trans, fsm_accept, fsm_dist,
                           *, t_max: int, max_new_tokens: int,
-                          temperature: float, use_fsm: bool,
+                          use_fsm: bool,
                           length_bias: float) -> GenerateResult:
     dparams = params["dec"]
     B = ids.shape[0]
@@ -160,9 +171,9 @@ def _generate_contig_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
 
 def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
                    img_embeds: Optional[jax.Array], cache: dec.KVCache,
-                   rng: jax.Array,
+                   rng: jax.Array, temperature: jax.Array,
                    fsm_trans, fsm_accept, fsm_dist,
-                   *, max_new_tokens: int, temperature: float,
+                   *, max_new_tokens: int,
                    use_fsm: bool, length_bias: float):
     dparams = params["dec"]
     B = ids.shape[0]

@@ -200,23 +200,14 @@ class SemanticCaptioningPipeline:
     def answer_mqa_batch(self, questions: List[str],
                          scene_results: Dict) -> List[str]:
         """All of one scene's questions in a single batched model call
-        (throughput lever, SURVEY.md section 7 step 7)."""
-        caption = scene_results["structured_caption"]
-        calls = []
-        for q in questions:
-            import json as _json
+        (throughput lever, SURVEY.md section 7 step 7).  Uses the SAME
+        canonical prompt as the serial path — batched/serial answers and
+        the distillation training data must never drift apart."""
+        from msc_tpu.agents.caption import build_mqa_messages
 
-            user = (f"Scene Information:\n"
-                    f"{_json.dumps(caption, indent=2)}\n\n"
-                    f"Question: {q}\n"
-                    "Provide a precise answer using the correct XML format.")
-            calls.append(dict(
-                messages=[
-                    {"role": "system",
-                     "content": "Answer using nuScenes-MQA XML tags "
-                                "(<target><cnt></cnt> <obj></obj></target>, "
-                                "<ans>)."},
-                    {"role": "user", "content": user}],
-                temperature=0.2, task="mqa_answer", max_new_tokens=64))
+        caption = scene_results["structured_caption"]
+        calls = [dict(messages=build_mqa_messages(q, caption),
+                      temperature=0.2, task="mqa_answer", max_new_tokens=64)
+                 for q in questions]
         with self.timer.stage("mqa.answer_batch"):
             return self.client.call_llm_batch(calls)

@@ -121,8 +121,10 @@ class InferenceEngine:
         ids = self.tokenizer.apply_chat_template(
             req.messages, num_image_tokens=self.cfg.tokens_per_image)
         # head+tail truncation (shared with training tokenization; the
-        # reference relies on Azure's 128k window, ours is smaller)
-        return self.tokenizer.truncate_head_tail(ids, _PROMPT_BUCKETS[-1])
+        # reference relies on Azure's 128k window, ours is smaller).
+        # IMG-aware: placeholder runs are atomic (tokenizer docstring).
+        return self.tokenizer.truncate_head_tail(
+            ids, _PROMPT_BUCKETS[-1], img_id=self.tokenizer.img_id)
 
     def generate_batch(self, requests: List[Request]) -> List[str]:
         """Run a homogeneous batch (same schema) through one
@@ -178,20 +180,23 @@ class InferenceEngine:
 
         self._rng, sub = jax.random.split(self._rng)
         bias = self.json_length_bias if use_fsm else 0.0
+        # per-row temperatures: coalesced batches keep each request's own
+        # temperature (dummy rows decode greedily)
+        temps = jnp.asarray(
+            [float(r.temperature) for r in requests] + [0.0] * (B - B_real),
+            jnp.float32)
 
         if self.kv_layout == "contiguous":
             ids = self.tokenizer.pad_batch(tok_lists, pad_to=T, left=True)
             ids = ids[:, -T:]
             result = self.vlm.generate_contig(
                 jnp.asarray(ids), img_embeds, sub, t_max=T + max_new,
-                max_new_tokens=max_new,
-                temperature=float(requests[0].temperature),
+                max_new_tokens=max_new, temperature=temps,
                 use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
                 fsm_dist=fsm_dist, length_bias=bias)
         else:
             result = self._generate_paged(
-                tok_lists, T, B, max_new, img_embeds, sub,
-                float(requests[0].temperature),
+                tok_lists, T, B, max_new, img_embeds, sub, temps,
                 use_fsm, fsm_trans, fsm_accept, fsm_dist, bias)
 
         # ONE synchronous tunnel round trip for both outputs (each sync
@@ -210,25 +215,31 @@ class InferenceEngine:
         total_new = pages_per_seq * self.cfg.page_size - T
         max_new = max(1, min(max_new, total_new))
 
-        page_lists = [self.allocator.alloc(pages_per_seq) for _ in range(B)]
-        bt = np.full((B, pages_per_seq), 0, np.int32)
-        for i, pl in enumerate(page_lists):
-            bt[i] = pl
+        page_lists: List[List[int]] = []
+        try:
+            for _ in range(B):
+                page_lists.append(self.allocator.alloc(pages_per_seq))
+            bt = np.full((B, pages_per_seq), 0, np.int32)
+            for i, pl in enumerate(page_lists):
+                bt[i] = pl
 
-        cache = dec.KVCache(
-            k_pages=self._k_pages, v_pages=self._v_pages,
-            block_tables=jnp.asarray(bt),
-            lengths=jnp.zeros((B,), jnp.int32))
-        result, cache = self.vlm.generate(
-            jnp.asarray(ids), img_embeds, cache, rng,
-            max_new_tokens=max_new, temperature=temperature,
-            use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
-            fsm_dist=fsm_dist, length_bias=bias)
-        self._k_pages = cache.k_pages
-        self._v_pages = cache.v_pages
-        for pl in page_lists:
-            self.allocator.release(pl)
-        return result
+            cache = dec.KVCache(
+                k_pages=self._k_pages, v_pages=self._v_pages,
+                block_tables=jnp.asarray(bt),
+                lengths=jnp.zeros((B,), jnp.int32))
+            result, cache = self.vlm.generate(
+                jnp.asarray(ids), img_embeds, cache, rng,
+                max_new_tokens=max_new, temperature=temperature,
+                use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
+                fsm_dist=fsm_dist, length_bias=bias)
+            self._k_pages = cache.k_pages
+            self._v_pages = cache.v_pages
+            return result
+        finally:
+            # release on every path: a compile/shape error must not leak
+            # pages ("KV page pool exhausted" after a few failures)
+            for pl in page_lists:
+                self.allocator.release(pl)
 
     def _get_fsm(self, schema):
         """Schema DFA as device-resident arrays, cached (the scene-graph

@@ -114,13 +114,17 @@ class _Builder:
         if t == "object":
             return self._object(spec, entries)
         if t == "array":
-            return self._array(spec, entries)
+            return self._array(spec, entries,
+                               max_items=int(spec.get("maxItems", 6)))
         if t == "string":
-            return self._string(entries)
+            return self._string(entries,
+                                max_len=int(spec.get("maxLength", 48)))
         if t == "integer":
-            return self._number(entries, frac=False)
+            return self._number(entries, frac=False,
+                                max_int_digits=int(spec.get("maxDigits", 7)))
         if t == "number":
-            return self._number(entries, frac=True)
+            return self._number(entries, frac=True,
+                                max_int_digits=int(spec.get("maxDigits", 7)))
         if t == "boolean":
             a = self.literal(entries, "true")
             b = self.literal(entries, "false")
@@ -134,7 +138,9 @@ class _Builder:
         """Bounded-length string: the DFA structurally guarantees the
         closing quote arrives within ``max_len`` bytes, so constrained
         decodes always terminate in valid JSON regardless of model
-        quality (critical with untrained weights)."""
+        quality (critical with untrained weights).  The bound is
+        per-schema-node: ``maxLength`` in the spec (or pydantic
+        ``json_schema_extra``) overrides the default."""
         exit_ = self.new_state()
         cur = self.new_state()
         for s in entries:
@@ -221,7 +227,11 @@ class _Builder:
     def _array(self, spec, entries: List[int],
                max_items: int = 6) -> List[int]:
         """Bounded array: the item automaton is unrolled ``max_items``
-        times (termination guarantee, same rationale as _string)."""
+        times (termination guarantee, same rationale as _string).  The
+        bound is per-schema-node via ``maxItems`` — e.g.
+        StructuredCaption.objects raises it to 32 so real scenes' 23-69
+        annotations are representable (the reference's parse path is
+        unbounded, `src/agents/structure_caption/caption_agent.py:37-44`)."""
         open_ = self.new_state()
         for s in entries:
             self.add(s, ord("["), open_)
@@ -251,27 +261,39 @@ def pydantic_to_spec(model) -> dict:
     raw = model.model_json_schema()
     defs = raw.get("$defs", {})
 
+    _BOUND_KEYS = ("maxItems", "maxLength", "maxDigits")
+
+    def bounds(node, out):
+        # size bounds ride through (pydantic Field(json_schema_extra=...)
+        # or native maxLength/maxItems constraints) — they parameterize
+        # the DFA's unroll counts per schema node
+        for k in _BOUND_KEYS:
+            if k in node:
+                out[k] = node[k]
+        return out
+
     def resolve(node):
         if "$ref" in node:
             name = node["$ref"].split("/")[-1]
-            return resolve(defs[name])
+            return bounds(node, resolve(defs[name]))
         if "allOf" in node and len(node["allOf"]) == 1:
-            return resolve(node["allOf"][0])
+            return bounds(node, resolve(node["allOf"][0]))
         if "anyOf" in node:
             # Optional[...] -> take the non-null branch
             branches = [b for b in node["anyOf"] if b.get("type") != "null"]
             if len(branches) == 1:
-                return resolve(branches[0])
+                return bounds(node, resolve(branches[0]))
             raise ValueError("unsupported anyOf in schema")
         t = node.get("type")
         if t == "object":
             return {"type": "object", "properties": {
                 k: resolve(v) for k, v in node.get("properties", {}).items()}}
         if t == "array":
-            return {"type": "array", "items": resolve(node["items"])}
+            return bounds(node, {"type": "array",
+                                 "items": resolve(node["items"])})
         if "enum" in node:
             return {"enum": list(node["enum"])}
-        return {"type": t}
+        return bounds(node, {"type": t})
 
     return resolve(raw)
 

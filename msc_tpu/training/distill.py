@@ -25,7 +25,7 @@ def build_mqa_dataset(num_scenes: int, holdout: int = 4):
 
     Returns (train_pairs, eval_pairs); eval scenes are disjoint.
     """
-    from msc_tpu.agents.caption import _MQA_SYSTEM
+    from msc_tpu.agents.caption import build_mqa_messages
     from msc_tpu.data.mqa import generate_mock_mqa
     from msc_tpu.data.nuscenes import MockNuScenesLoader
     from msc_tpu.pipeline import SemanticCaptioningPipeline
@@ -49,12 +49,7 @@ def build_mqa_dataset(num_scenes: int, holdout: int = 4):
         qs = mqa[mqa["sample_token"] == sample["sample_token"]]
         for _, row in qs.iterrows():
             answer = answer_mqa_from_caption(row["question"], caption)
-            user = (f"Scene Information:\n"
-                    f"{json.dumps(caption, indent=2)}\n\n"
-                    f"Question: {row['question']}\n"
-                    "Provide a precise answer using the correct XML format.")
-            messages = [{"role": "system", "content": _MQA_SYSTEM},
-                        {"role": "user", "content": user}]
+            messages = build_mqa_messages(row["question"], caption)
             scene_pairs.append((messages, answer, row["answer"]))
         pairs_by_scene.append(scene_pairs)
 

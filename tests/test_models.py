@@ -121,3 +121,52 @@ def test_generate_with_images(tiny_vlm):
         jnp.asarray(ids), emb, cache, jax.random.PRNGKey(2),
         max_new_tokens=8, temperature=0.0)
     assert np.asarray(result.tokens).shape == (1, 8)
+
+
+def test_truncate_head_tail_img_aware():
+    """Truncation must never cut through an IMG placeholder run (that
+    would shift every later image onto the wrong ViT embedding)."""
+    from msc_tpu.models.tokenizer import ByteTokenizer, IMG_ID
+
+    tok = ByteTokenizer(512)
+    tpi = 16
+    # 3 images interleaved with long text, over the limit
+    ids = ([1] * 100 + [IMG_ID] * tpi + [2] * 300 + [IMG_ID] * tpi
+           + [3] * 300 + [IMG_ID] * tpi + [4] * 100)
+    limit = 256
+    out = tok.truncate_head_tail(ids, limit, img_id=IMG_ID)
+    assert len(out) <= limit
+    # every surviving IMG run is exactly tpi long (atomic)
+    runs, i = [], 0
+    while i < len(out):
+        if out[i] == IMG_ID:
+            j = i
+            while j < len(out) and out[j] == IMG_ID:
+                j += 1
+            runs.append(j - i)
+            i = j
+        else:
+            i += 1
+    # adjacent runs merge when the text between them is fully dropped;
+    # atomicity means every maximal run is a whole multiple of tpi and
+    # all 3 images' placeholders survive
+    assert all(r % tpi == 0 for r in runs)
+    assert sum(runs) == 3 * tpi  # all images kept; only text truncated
+
+    # images alone over the budget: whole TRAILING images drop
+    ids2 = [IMG_ID] * (tpi * 40) + [5] * 10
+    out2 = tok.truncate_head_tail(ids2, limit, img_id=IMG_ID)
+    assert len(out2) <= limit
+    n_img_tokens = sum(1 for t in out2 if t == IMG_ID)
+    assert n_img_tokens % tpi == 0  # whole images only
+    assert out2[-10:] == [5] * 10   # text survives
+
+
+def test_truncate_head_tail_no_images_unchanged():
+    from msc_tpu.models.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer(512)
+    ids = list(range(200)) * 3
+    old = ids[:150 // 4] + ids[-(150 - 150 // 4):]
+    assert tok.truncate_head_tail(ids, 150) == old
+    assert tok.truncate_head_tail(ids, 150, img_id=259) == old

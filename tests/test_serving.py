@@ -273,3 +273,78 @@ def test_evaluator_per_tag_buckets():
     assert "dst:10m" in m.per_tag_accuracy
     # dst-only answers score by their (empty) target sets — reference parity
     assert m.per_tag_accuracy["obj:bus"]["accuracy"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round 2: configurable DFA bounds, per-row temperatures, leak safety
+# ---------------------------------------------------------------------------
+
+def test_dfa_bounds_configurable():
+    """maxLength/maxItems in the spec override the default unroll caps."""
+    spec = {"type": "object", "properties": {
+        "s": {"type": "string", "maxLength": 4},
+        "xs": {"type": "array", "items": {"type": "integer"}, "maxItems": 2},
+    }}
+    dfa = structured.compile_schema(spec)
+    assert walk(dfa, '{"s":"abcd","xs":[1,2]}')
+    assert not walk(dfa, '{"s":"abcde","xs":[1]}')    # string over bound
+    assert not walk(dfa, '{"s":"a","xs":[1,2,3]}')    # array over bound
+
+
+def test_structured_caption_holds_32_objects():
+    """Real scenes carry 23-69 annotations (SURVEY.md section 6); the
+    constrained-decode DFA must structurally admit a 32-object caption
+    (VERDICT round-1 item 3)."""
+    from msc_tpu.agents.schemas import StructuredCaption
+
+    obj = ('{"category":"car","position":"front, 10m","state":"moving",'
+           '"attributes":["parked"],"visibility":"high"}')
+    caption = ('{"scene_summary":"busy intersection",'
+               '"ego_vehicle":{"action":"driving","lane_position":"center",'
+               '"speed_estimate":"moderate"},'
+               '"objects":[' + ",".join([obj] * 32) + '],'
+               '"road_structure":{"type":"straight","lanes":"2",'
+               '"markings":["solid"]},'
+               '"environment":{"lighting":"day","weather":"clear",'
+               '"location_type":"urban"},'
+               '"safety_critical":["none"]}')
+    dfa = structured.compile_schema_cached(StructuredCaption)
+    assert walk(dfa, caption)
+    # and validates into the pydantic contract
+    parsed = StructuredCaption.model_validate_json(caption)
+    assert len(parsed.objects) == 32
+
+
+def test_per_row_temperatures():
+    """Coalesced batches keep each request's own temperature: a greedy
+    (t=0) row must be bit-identical whether it rides alone or next to a
+    hot-temperature row (round-1 ADVICE item 1)."""
+    engine = InferenceEngine(TINY, seed=0, num_pages=64,
+                             max_pages_per_seq=32)
+    msg = [{"role": "user", "content": "hello there"}]
+    solo = engine.generate_batch(
+        [Request(messages=msg, temperature=0.0, max_new_tokens=8)])[0]
+    mixed = engine.generate_batch(
+        [Request(messages=msg, temperature=0.0, max_new_tokens=8),
+         Request(messages=[{"role": "user", "content": "other prompt"}],
+                 temperature=1.0, max_new_tokens=8)])
+    assert mixed[0] == solo
+
+
+def test_paged_pages_released_on_error():
+    """A failing generate must not leak KV pages (round-1 ADVICE item 5)."""
+    engine = InferenceEngine(TINY, seed=0, num_pages=64,
+                             max_pages_per_seq=32, kv_layout="paged")
+
+    class Boom(Exception):
+        pass
+
+    def explode(*a, **k):
+        raise Boom()
+
+    engine.vlm.generate = explode
+    req = Request(messages=[{"role": "user", "content": "hi"}],
+                  max_new_tokens=8)
+    with pytest.raises(Boom):
+        engine.generate_batch([req])
+    assert engine.allocator.used == 0
