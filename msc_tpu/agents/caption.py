@@ -64,9 +64,11 @@ def build_mqa_messages(question: str, structured_caption: Dict) -> list:
     model is evaluated on a prompt format it was never trained on.
     """
     # scene info first, question LAST: prompts longer than the context
-    # window tail-truncate, and the question must survive
+    # window tail-truncate, and the question must survive.  Compact JSON:
+    # ~40% fewer prompt tokens than indent=2, and the format matches what
+    # the model itself emits under the constrained decoder (transfer)
     user = (f"Scene Information:\n"
-            f"{json.dumps(structured_caption, indent=2)}\n\n"
+            f"{json.dumps(structured_caption, separators=(',', ':'))}\n\n"
             f"Question: {question}\n"
             "Provide a precise answer using the correct XML format.")
     return [{"role": "system", "content": _MQA_SYSTEM},

@@ -143,6 +143,33 @@ class FakeBackend(Backend):
         return resp
 
 
+class RecordingBackend(Backend):
+    """Wraps a backend and records every (call, response) as a training
+    pair — the self-distillation data plane: run the pipeline once with
+    the analytic teacher inside and every agent task (not just MQA)
+    falls out as supervised data in the EXACT serving prompt format
+    (round-1 VERDICT item 1: "all agent tasks, not just MQA")."""
+
+    def __init__(self, inner: Backend):
+        self.inner = inner
+        self.records: List[dict] = []
+
+    def complete(self, messages, temperature, response_format=None,
+                 task=None, images=(), max_new_tokens=None):
+        text = self.inner.complete(messages, temperature, response_format,
+                                   task, images, max_new_tokens)
+        self.records.append(dict(
+            messages=messages, task=task, response=text,
+            response_format=response_format, n_images=len(images),
+            temperature=temperature))
+        return text
+
+    def take(self) -> List[dict]:
+        out = self.records
+        self.records = []
+        return out
+
+
 class VLMBackend(Backend):
     """On-TPU VLM backend."""
 
@@ -198,6 +225,10 @@ def make_backend(model_config, vlm_params=None) -> Backend:
         if model_config.small_model != "msc-vlm-s":
             # model-family selection by preset name
             vlm_cfg = vlm_preset(model_config.small_model)
+        if vlm_params is None and getattr(model_config, "vlm_ckpt", ""):
+            from msc_tpu.utils.checkpoint import restore_params
+
+            vlm_params = restore_params(model_config.vlm_ckpt)
         mesh = None
         mc = model_config.mesh
         if mc.data * mc.model > 1:

@@ -82,7 +82,9 @@ class InferenceEngine:
         self.kv_layout = kv_layout
         self.json_length_bias = json_length_bias
         self.mesh = mesh
-        self.tokenizer = ByteTokenizer(cfg.vocab_size)
+        from msc_tpu.models.bpe import make_tokenizer
+
+        self.tokenizer = make_tokenizer(cfg)
         if params is None:
             params = init_vlm_params(jax.random.PRNGKey(seed), cfg)
         if cfg.dtype == "bfloat16":
@@ -243,12 +245,24 @@ class InferenceEngine:
 
     def _get_fsm(self, schema):
         """Schema DFA as device-resident arrays, cached (the scene-graph
-        table is tens of MB — re-uploading per call dominated latency)."""
+        table is tens of MB — re-uploading per call dominated latency).
+
+        With a BPE tokenizer the byte DFA is lifted onto the token
+        vocabulary (structured.token_transition_table): a token is legal
+        iff its whole byte path is, so constrained decoding stays exact
+        while decoding ~3-4x fewer steps."""
         key = id(schema)
         hit = self._fsm_cache.get(key)
         if hit is None:
-            dfa = structured.compile_schema_cached(schema, self.cfg.vocab_size)
-            hit = (jnp.asarray(dfa.trans), jnp.asarray(dfa.accept),
+            if getattr(self.tokenizer, "is_bpe", False):
+                dfa = structured.compile_schema_cached(schema, 256)
+                trans = structured.token_transition_table(
+                    dfa, self.tokenizer.token_bytes, self.cfg.vocab_size)
+            else:
+                dfa = structured.compile_schema_cached(
+                    schema, self.cfg.vocab_size)
+                trans = dfa.trans
+            hit = (jnp.asarray(trans), jnp.asarray(dfa.accept),
                    jnp.asarray(dfa.dist), int(dfa.dist[0]))
             self._fsm_cache[key] = hit
         return hit

@@ -314,11 +314,41 @@ def compile_schema(schema, vocab_size: int = 512,
     return DFA(trans, accept)
 
 
-_CACHE: Dict[int, DFA] = {}
+def token_transition_table(dfa: DFA, token_bytes, vocab_size: int) -> np.ndarray:
+    """Lift a byte-level DFA onto a BPE vocabulary.
+
+    Returns (S, vocab) int32: entry [s, t] is the state reached by feeding
+    token t's full byte string from state s, or -1 if any byte on the path
+    is invalid.  Because ids 0..255 remain raw bytes in the BPE vocab
+    (byte fallback), every byte-DFA-accepted string stays reachable —
+    constrained decoding is exact regardless of merge coverage.
+
+    Vectorized per token over all states (numpy gathers); cost is
+    O(S * vocab * avg_token_len), a few seconds for the largest schema,
+    and cached per (schema, tokenizer) by the engine.
+    """
+    S = dfa.trans.shape[0]
+    out = np.full((S, vocab_size), -1, np.int32)
+    # single-byte tokens are direct column copies
+    out[:, :256] = dfa.trans[:, :256]
+    states0 = np.arange(S, dtype=np.int32)
+    for tid in range(256, min(len(token_bytes), vocab_size)):
+        tb = token_bytes[tid]
+        if not tb:
+            continue  # special tokens: never legal inside JSON
+        cur = dfa.trans[states0, tb[0]]
+        for b in tb[1:]:
+            safe = np.maximum(cur, 0)
+            cur = np.where(cur >= 0, dfa.trans[safe, b], -1)
+        out[:, tid] = cur
+    return out
+
+
+_CACHE: Dict[tuple, DFA] = {}
 
 
 def compile_schema_cached(schema, vocab_size: int = 512) -> DFA:
-    key = id(schema) if isinstance(schema, type) else None
+    key = (id(schema), vocab_size) if isinstance(schema, type) else None
     if key is not None and key in _CACHE:
         return _CACHE[key]
     dfa = compile_schema(schema, vocab_size)

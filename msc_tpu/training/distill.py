@@ -1,61 +1,169 @@
-"""Self-distillation: train the VLM on the pipeline's own MQA answers.
+"""Self-distillation: train the VLM on the pipeline's own agent outputs.
 
 The quality path of the framework (SURVEY.md hard part #2): the analytic
-backend produces deterministic, correct MQA answers from structured
-captions; those (prompt, answer) pairs fine-tune the on-TPU VLM so the
-``vlm`` backend's answers move from random bytes toward the tag contract.
+backend produces deterministic, correct responses for EVERY agent task
+(captions, scene graphs, suggestions, edits, MQA answers) from the
+information in the prompt; recording one full pipeline pass per scene
+yields supervised (serving-prompt, target) pairs for all of them.
+Fine-tuning the on-TPU VLM on that corpus moves the ``vlm`` backend from
+random bytes toward analytic-backend parity (round-1 VERDICT item 1).
 The same recipe applies verbatim to distilling from a larger teacher or
 real-data captions.
 
+Structured-output targets are canonicalized to the exact constrained-
+decoding surface (compact separators, schema field order, DFA size
+bounds) so the model never trains on token sequences the serving DFA
+masks out.
+
 Usage:
-    python -m msc_tpu.training.distill [--scenes 24] [--steps 3000]
-                                       [--preset msc-vlm-s]
-                                       [--save ckpt_dir]
+    python -m msc_tpu.training.distill [--scenes 96] [--steps 20000]
+        [--tasks all|mqa] [--preset msc-vlm-s] [--save ckpt_dir]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 
-def build_mqa_dataset(num_scenes: int, holdout: int = 4):
-    """(messages, answer) pairs from analytic-pipeline captions.
+# ---------------------------------------------------------------------------
+# dataset
+# ---------------------------------------------------------------------------
 
-    Returns (train_pairs, eval_pairs); eval scenes are disjoint.
+def canonicalize_for_dfa(schema, text: str) -> str:
+    """Re-serialize a structured response into the exact form the
+    constrained-decoding DFA admits: compact separators, schema field
+    order (pydantic declaration order), strings/arrays/numbers clamped to
+    the DFA bounds.  Training targets MUST be in this form or the model
+    learns tokens the serving-time mask forbids."""
+    from msc_tpu.serving.structured import pydantic_to_spec
+
+    spec = pydantic_to_spec(schema) if isinstance(schema, type) else schema
+    obj = json.loads(text)
+
+    def clamp(node, val):
+        if "enum" in node:
+            return val if val in node["enum"] else node["enum"][0]
+        t = node.get("type")
+        if t == "object":
+            return {k: clamp(sub, (val or {}).get(k))
+                    for k, sub in node["properties"].items()}
+        if t == "array":
+            items = val if isinstance(val, list) else []
+            return [clamp(node["items"], v)
+                    for v in items[: int(node.get("maxItems", 6))]]
+        if t == "string":
+            s = "" if val is None else str(val)
+            s = s.replace('"', "'").replace("\\", "/")
+            # keep the DFA's printable-ASCII alphabet
+            s = "".join(c for c in s if 32 <= ord(c) < 127)
+            return s[: int(node.get("maxLength", 48))]
+        if t == "integer":
+            try:
+                v = int(val)
+            except (TypeError, ValueError):
+                v = 0
+            lim = 10 ** int(node.get("maxDigits", 7)) - 1
+            return max(-lim, min(lim, v))
+        if t == "number":
+            try:
+                v = float(val)
+            except (TypeError, ValueError):
+                v = 0.0
+            lim = 10 ** int(node.get("maxDigits", 7)) - 1
+            v = max(-lim, min(lim, v))
+            out = round(v, 4)
+            return int(out) if out == int(out) else out
+        if t == "boolean":
+            return bool(val)
+        if t == "null":
+            return None
+        raise ValueError(f"unsupported node: {node}")
+
+    return json.dumps(clamp(spec, obj), separators=(",", ":"))
+
+
+def build_multitask_dataset(num_scenes: int, holdout: int = 8,
+                            tasks: str = "all",
+                            config_names: Tuple[str, ...] = ("full",),
+                            max_image_tokens: int = 0):
+    """Record (serving prompt, analytic target) pairs for every agent task.
+
+    Returns (train_pairs, eval_pairs, holdout_scene_indices); pairs are
+    (messages, target_text, gt_answer_or_None, task).  Image-bearing
+    calls are skipped unless ``max_image_tokens`` > 0 (mock camera frames
+    carry no learnable content; text tasks carry all the MQA-relevant
+    information via the OBJECTS_JSON/DETECTIONS_JSON observation markers).
     """
-    from msc_tpu.agents.caption import build_mqa_messages
+    from msc_tpu.config import ModalityConfig
     from msc_tpu.data.mqa import generate_mock_mqa
     from msc_tpu.data.nuscenes import MockNuScenesLoader
+    from msc_tpu.eval.configs import ModalityConfigGenerator
     from msc_tpu.pipeline import SemanticCaptioningPipeline
-    from msc_tpu.serving.analytic import AnalyticBackend, answer_mqa_from_caption
+    from msc_tpu.serving.analytic import AnalyticBackend
+    from msc_tpu.serving.client import RecordingBackend
 
+    recorder = RecordingBackend(AnalyticBackend())
     loader = MockNuScenesLoader(num_scenes=num_scenes, samples_per_scene=1)
-    pipeline = SemanticCaptioningPipeline(backend=AnalyticBackend(),
-                                          verbose=False)
+    pipeline = SemanticCaptioningPipeline(backend=recorder, verbose=False)
     mqa = generate_mock_mqa(loader, num_scenes=num_scenes,
                             samples_per_scene=1)
 
-    pairs_by_scene: List[List[Tuple[List[dict], str]]] = []
+    all_configs = ModalityConfigGenerator.generate_all_configs()
+    modalities = ([(n, all_configs[n]) for n in config_names]
+                  if config_names != ("full",)
+                  else [("full", ModalityConfig())])
+
+    pairs_by_scene: List[List[tuple]] = []
     for i in range(num_scenes):
         sample = loader.get_sample_by_scene_index(i, 0)
-        result = pipeline.process_scene(
-            images=sample["images"], camera_names=sample["camera_names"],
-            point_cloud=sample["point_cloud"],
-            annotations=sample["annotations"])
-        caption = result["structured_caption"]
-        scene_pairs = []
-        qs = mqa[mqa["sample_token"] == sample["sample_token"]]
-        for _, row in qs.iterrows():
-            answer = answer_mqa_from_caption(row["question"], caption)
-            messages = build_mqa_messages(row["question"], caption)
-            scene_pairs.append((messages, answer, row["answer"]))
+        scene_pairs: List[tuple] = []
+        for _cname, modality in modalities:
+            recorder.take()  # drop any stale records
+            result = pipeline.process_scene(
+                images=sample["images"],
+                camera_names=sample["camera_names"],
+                point_cloud=sample["point_cloud"],
+                annotations=sample["annotations"],
+                modality_config=modality)
+            qs = mqa[mqa["sample_token"] == sample["sample_token"]]
+            gt_by_prompt: Dict[str, str] = {}
+            for _, row in qs.iterrows():
+                pipeline.answer_mqa(row["question"], result)
+                gt_by_prompt[row["question"]] = row["answer"]
+            for rec in recorder.take():
+                if rec["n_images"] > 0 and max_image_tokens <= 0:
+                    continue
+                if tasks == "mqa" and rec["task"] != "mqa_answer":
+                    continue
+                target = rec["response"]
+                if rec["response_format"] is not None:
+                    target = canonicalize_for_dfa(rec["response_format"],
+                                                  target)
+                gt = None
+                if rec["task"] == "mqa_answer":
+                    # attach the dataset ground truth for eval bookkeeping
+                    for q, a in gt_by_prompt.items():
+                        if q in rec["messages"][-1]["content"]:
+                            gt = a
+                            break
+                scene_pairs.append((rec["messages"], target, gt,
+                                    rec["task"]))
         pairs_by_scene.append(scene_pairs)
 
     train = [p for s in pairs_by_scene[:-holdout] for p in s]
     evl = [p for s in pairs_by_scene[-holdout:] for p in s]
-    return train, evl
+    holdout_idx = list(range(num_scenes - holdout, num_scenes))
+    return train, evl, holdout_idx
+
+
+def build_mqa_dataset(num_scenes: int, holdout: int = 4):
+    """Back-compat wrapper: MQA-only pairs as (messages, answer, gt)."""
+    train, evl, _ = build_multitask_dataset(num_scenes, holdout,
+                                            tasks="mqa")
+    strip = lambda ps: [(m, t, gt) for m, t, gt, _task in ps]
+    return strip(train), strip(evl)
 
 
 def tokenize_pairs(pairs, tokenizer, max_len: int):
@@ -65,36 +173,43 @@ def tokenize_pairs(pairs, tokenizer, max_len: int):
 
     ids = np.full((len(pairs), max_len), PAD_ID, np.int32)
     mask = np.zeros((len(pairs), max_len), bool)
-    for i, (messages, answer, _gt) in enumerate(pairs):
+    for i, pair in enumerate(pairs):
+        messages, answer = pair[0], pair[1]
         prompt = tokenizer.apply_chat_template(messages)
         target = tokenizer.encode(answer) + [EOS_ID]
         # SAME truncation as the serving engine (train/serve alignment),
         # then fit prompt+target into max_len
         prompt = tokenizer.truncate_head_tail(prompt, 2048)
-        prompt = tokenizer.truncate_head_tail(prompt, max_len - len(target))
-        seq = prompt + target
+        # the full target (incl. EOS) must stay supervised — the prompt
+        # yields; only a target that alone exceeds max_len gets clipped
+        budget = max(1, max_len - len(target))
+        prompt = tokenizer.truncate_head_tail(prompt, budget)
+        seq = (prompt + target)[:max_len]
         ids[i, : len(seq)] = seq
         mask[i, len(prompt): len(seq)] = True
     return ids, mask
 
 
 def evaluate(engine, pairs, max_eval: int = 60):
-    """Exact/object-match accuracy of the engine's answers vs ground truth."""
-    from msc_tpu.eval.evaluator import ComprehensiveMQAEvaluator
+    """Exact/object-match accuracy of the engine's answers vs ground truth
+    (MQA pairs only)."""
     import pandas as pd
 
+    from msc_tpu.eval.evaluator import ComprehensiveMQAEvaluator
     from msc_tpu.serving.engine import Request
 
+    pairs = [p for p in pairs if len(p) < 4 or p[3] == "mqa_answer"]
     pairs = pairs[:max_eval]
-    reqs = [Request(messages=m, temperature=0.0, max_new_tokens=64)
-            for m, _a, _gt in pairs]
+    reqs = [Request(messages=p[0], temperature=0.0, max_new_tokens=64)
+            for p in pairs]
     preds = []
     for r in reqs:  # sequential: honest per-call serving path
         preds.append(engine.generate_batch([r])[0])
+    gts = [p[2] if p[2] is not None else p[1] for p in pairs]
     df = pd.DataFrame({
         "sample_token": ["x"] * len(pairs),
-        "question": [m[1]["content"].split("\n")[0] for m, _a, _gt in pairs],
-        "ground_truth_answer": [gt for _m, _a, gt in pairs],
+        "question": [p[0][1]["content"].split("\n")[0] for p in pairs],
+        "ground_truth_answer": gts,
         "question_type": ["q"] * len(pairs),
         "predicted_answer": preds,
     })
@@ -108,14 +223,20 @@ def evaluate(engine, pairs, max_eval: int = 60):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", type=int, default=24)
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--scenes", type=int, default=96)
+    ap.add_argument("--holdout", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--max-len", type=int, default=2176)
+    ap.add_argument("--max-len", type=int, default=1152)
+    ap.add_argument("--max-len-long", type=int, default=2560)
     ap.add_argument("--preset", default="msc-vlm-s")
+    ap.add_argument("--tasks", default="all", choices=["all", "mqa"])
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--save", default=None)
-    ap.add_argument("--eval-n", type=int, default=40)
+    ap.add_argument("--eval-n", type=int, default=60)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="mid-training MQA evals (0 = only before/after)")
     args = ap.parse_args()
 
     from msc_tpu.utils.jax_setup import enable_compilation_cache
@@ -125,9 +246,10 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import optax
 
     from msc_tpu.config import vlm_preset, VLMConfig
-    from msc_tpu.models.tokenizer import ByteTokenizer
+    from msc_tpu.models.bpe import make_tokenizer
     from msc_tpu.models.vlm import init_vlm_params
     from msc_tpu.serving.engine import InferenceEngine
     from msc_tpu.training.train import (
@@ -136,15 +258,43 @@ def main():
 
     cfg = (VLMConfig() if args.preset == "msc-vlm-s"
            else vlm_preset(args.preset))
-    tokenizer = ByteTokenizer(cfg.vocab_size)
+    tokenizer = make_tokenizer(cfg)  # MUST match the serving tokenizer
 
-    print(f"building dataset from {args.scenes} scenes...")
-    train_pairs, eval_pairs = build_mqa_dataset(args.scenes)
+    print(f"building {args.tasks}-task dataset from {args.scenes} scenes...")
+    train_pairs, eval_pairs, _ = build_multitask_dataset(
+        args.scenes, holdout=args.holdout, tasks=args.tasks)
+    from collections import Counter
+
     print(f"train pairs: {len(train_pairs)}, eval pairs: {len(eval_pairs)}")
-    ids, mask = tokenize_pairs(train_pairs, tokenizer, args.max_len)
+    print("  by task:", dict(Counter(p[3] for p in train_pairs)))
+
+    # length-bucketed batches: short tasks (MQA, suggest, caption) pack
+    # densely; long tasks (merge, edit, scene-graph) train at a longer T
+    # with a smaller B so neither truncates the other's budget
+    def total_len(p):
+        return (len(tokenizer.apply_chat_template(p[0]))
+                + len(tokenizer.encode(p[1])) + 1)
+
+    lens = [total_len(p) for p in train_pairs]
+    short = [p for p, L in zip(train_pairs, lens) if L <= args.max_len]
+    long_ = [p for p, L in zip(train_pairs, lens) if L > args.max_len]
+    buckets = []
+    if short:
+        ids_s, mask_s = tokenize_pairs(short, tokenizer, args.max_len)
+        buckets.append((ids_s, mask_s, args.batch))
+    if long_:
+        ids_l, mask_l = tokenize_pairs(long_, tokenizer, args.max_len_long)
+        buckets.append((ids_l, mask_l, max(2, args.batch // 4)))
+    for ids_b, mask_b, bb in buckets:
+        print(f"  bucket T={ids_b.shape[1]} n={len(ids_b)} batch={bb} "
+              f"mean len {(ids_b != 256).sum(1).mean():.0f}")
 
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
-    optimizer = make_optimizer(lr=args.lr)
+    # warmup + cosine decay: the round-1 constant-lr run destabilized at
+    # 20k steps (PERF.md); the schedule is the missing knob
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, args.warmup, args.steps, end_value=args.lr * 0.05)
+    optimizer = make_optimizer(lr=schedule)
     state = init_train_state(params, optimizer)
     step_fn = make_train_step(cfg, optimizer)
 
@@ -152,21 +302,30 @@ def main():
     engine = InferenceEngine(cfg, params=jax.device_get(state.params), seed=0)
     before, _ = evaluate(engine, eval_pairs, args.eval_n)
     print(f"BEFORE: {before}")
+    del engine
 
     rng = np.random.default_rng(0)
-    n = len(ids)
-    losses = []
+    # sample buckets proportionally to their pair counts
+    weights = np.array([len(b[0]) for b in buckets], np.float64)
+    weights /= weights.sum()
     import time
 
     t0 = time.time()
+    loss = float("nan")
     for step in range(args.steps):
-        idx = rng.integers(0, n, size=args.batch)
-        state, loss = step_fn(state, jnp.asarray(ids[idx]), None,
-                              jnp.asarray(mask[idx]))
+        ids_b, mask_b, bb = buckets[rng.choice(len(buckets), p=weights)]
+        idx = rng.integers(0, len(ids_b), size=bb)
+        state, loss = step_fn(state, jnp.asarray(ids_b[idx]), None,
+                              jnp.asarray(mask_b[idx]))
         if step % max(1, args.steps // 20) == 0:
-            losses.append(float(loss))
-            print(f"step {step:5d}  loss {losses[-1]:.4f}  "
-                  f"({(time.time()-t0):.0f}s)")
+            print(f"step {step:6d}  loss {float(loss):.4f}  "
+                  f"({(time.time()-t0):.0f}s)", flush=True)
+        if args.eval_every and step and step % args.eval_every == 0:
+            e = InferenceEngine(cfg, params=jax.device_get(state.params),
+                                seed=0)
+            mid, _ = evaluate(e, eval_pairs, args.eval_n)
+            print(f"  eval@{step}: {mid}", flush=True)
+            del e
     print(f"final loss {float(loss):.4f} after {args.steps} steps "
           f"({time.time()-t0:.0f}s)")
 

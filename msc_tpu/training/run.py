@@ -74,7 +74,7 @@ def main():
     import numpy as np
 
     from msc_tpu.config import vlm_preset
-    from msc_tpu.models.tokenizer import ByteTokenizer
+    from msc_tpu.models.bpe import make_tokenizer
     from msc_tpu.models.vlm import init_vlm_params
     from msc_tpu.ops.image import preprocess_images
     from msc_tpu.parallel.mesh import data_sharding, make_mesh, shard_params
@@ -83,7 +83,7 @@ def main():
     )
 
     cfg = vlm_preset(args.preset)
-    tokenizer = ByteTokenizer(cfg.vocab_size)
+    tokenizer = make_tokenizer(cfg)  # MUST match the serving tokenizer
     max_len = min(cfg.max_seq_len, 256)
 
     print(f"building dataset from {args.scenes} mock scenes...")

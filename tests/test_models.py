@@ -19,7 +19,7 @@ TINY = VLMConfig(
     image_size=28, patch_size=14, vit_width=32, vit_depth=2, vit_heads=2,
     vocab_size=512, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
     head_dim=16, mlp_hidden=128, max_seq_len=256, page_size=16,
-    dtype="float32",
+    dtype="float32", tokenizer="byte",
 )
 
 
@@ -170,3 +170,48 @@ def test_truncate_head_tail_no_images_unchanged():
     old = ids[:150 // 4] + ids[-(150 - 150 // 4):]
     assert tok.truncate_head_tail(ids, 150) == old
     assert tok.truncate_head_tail(ids, 150, img_id=259) == old
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (round 2)
+# ---------------------------------------------------------------------------
+
+def test_bpe_roundtrip_and_fallback():
+    from msc_tpu.models.bpe import BPETokenizer, train_bpe
+
+    corpus = (b"the car is in front of the ego vehicle. " * 50
+              + b'{"category":"car","position":"front"} ' * 30)
+    merges = train_bpe(corpus, 320)
+    tok = BPETokenizer(merges, vocab_size=512)
+    for s in ['the car is in front', '{"category":"car"}',
+              'unseen ✓ unicode éà', 'x' * 100, '']:
+        assert tok.decode(tok.encode(s)) == s
+    # compression on in-domain text
+    s = "the car is in front of the ego vehicle. " * 5
+    assert len(tok.encode(s)) < len(s) * 0.5
+
+
+def test_bpe_committed_vocab_loads():
+    """The committed hermetic vocabulary must load and beat 3 bytes/token
+    on in-domain text."""
+    from msc_tpu.models.bpe import make_tokenizer
+    from msc_tpu.config import VLMConfig
+
+    cfg = VLMConfig(vocab_size=1024, tokenizer="bpe")
+    tok = make_tokenizer(cfg)
+    s = ('{"scene_summary":"a car in front of the ego vehicle",'
+         '"objects":[{"category":"pedestrian","position":"front left"}]}')
+    ids = tok.encode(s)
+    assert len(ids) < len(s) / 2.5
+    assert tok.decode(ids) == s
+
+
+def test_bpe_chat_template_inherited():
+    from msc_tpu.models.bpe import BPETokenizer, train_bpe
+
+    tok = BPETokenizer(train_bpe(b"hello world " * 20, 280), vocab_size=512)
+    messages = [{"role": "user", "content": [
+        {"type": "text", "text": "hello world"}, {"type": "image"}]}]
+    ids = tok.apply_chat_template(messages, num_image_tokens=4)
+    assert ids.count(IMG_ID) == 4
+    assert ids[0] == BOS_ID

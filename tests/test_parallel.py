@@ -20,7 +20,7 @@ TINY = VLMConfig(
     image_size=28, patch_size=14, vit_width=64, vit_depth=2, vit_heads=4,
     vocab_size=512, d_model=128, n_layers=2, n_heads=8, n_kv_heads=2,
     head_dim=16, mlp_hidden=256, max_seq_len=256, page_size=16,
-    dtype="float32",
+    dtype="float32", tokenizer="byte",
 )
 
 pytestmark = pytest.mark.skipif(

@@ -348,3 +348,42 @@ def test_paged_pages_released_on_error():
     with pytest.raises(Boom):
         engine.generate_batch([req])
     assert engine.allocator.used == 0
+
+
+def test_token_table_lifts_byte_dfa():
+    """The token-lifted transition table must agree with walking each
+    token's bytes through the byte DFA (exactness of BPE-constrained
+    decoding)."""
+    from msc_tpu.models.bpe import BPETokenizer, train_bpe
+
+    corpus = b'{"title":"scene","count":12} ' * 40
+    tok = BPETokenizer(train_bpe(corpus, 300), vocab_size=512)
+    dfa = structured.compile_schema(SampleStrict, 256)
+    table = structured.token_transition_table(dfa, tok.token_bytes, 512)
+
+    rng = np.random.default_rng(0)
+    for s in rng.integers(0, dfa.num_states, 40):
+        for tid in list(range(0, 256, 17)) + list(range(263, len(tok.token_bytes), 7)):
+            tb = tok.token_bytes[tid]
+            cur = int(s)
+            for b in tb:
+                cur = int(dfa.trans[cur, b]) if cur >= 0 else -1
+                if cur < 0:
+                    break
+            expect = cur if tb else -1
+            assert table[s, tid] == expect, (s, tid, tb)
+
+
+def test_constrained_generation_bpe_valid_json():
+    """Constrained decode through the BPE-lifted DFA must still emit
+    schema-valid JSON from an untrained model."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, vocab_size=1024, tokenizer="bpe")
+    engine = InferenceEngine(cfg, seed=0, num_pages=64, max_pages_per_seq=32)
+    assert getattr(engine.tokenizer, "is_bpe", False)
+    req = Request(messages=[{"role": "user", "content": "give me json"}],
+                  schema=SampleStrict, max_new_tokens=128)
+    out = engine.generate_batch([req])[0]
+    parsed = SampleStrict.model_validate_json(out)
+    assert isinstance(parsed.count, int)
