@@ -28,10 +28,17 @@ from msc_tpu.config import VLMConfig
 
 
 class KVCache(NamedTuple):
-    """Paged KV cache state (all arrays, jit-friendly)."""
+    """Paged KV cache state (a pytree, jit-friendly).
 
-    k_pages: jax.Array       # (L, P, page, KV, hd)
-    v_pages: jax.Array       # (L, P, page, KV, hd)
+    ``k_pages``/``v_pages`` are per-layer TUPLES of (P, page, KV, hd)
+    pools (not one stacked (L, ...) array): the Pallas paged-attention
+    kernel updates each layer's pool in place via input/output aliasing,
+    and a stacked array would force a full-pool copy at the
+    ``at[li].set`` seam.
+    """
+
+    k_pages: tuple           # L x (P, page, KV*hd) — merged lane dim
+    v_pages: tuple           # L x (P, page, KV*hd)
     block_tables: jax.Array  # (B, max_pages_per_seq) int32, -1 = unallocated
     lengths: jax.Array       # (B,) int32 tokens written per sequence
 
@@ -93,9 +100,13 @@ def init_decoder_params(key, cfg: VLMConfig) -> Dict:
 def init_kv_cache(cfg: VLMConfig, batch: int, num_pages: int,
                   max_pages_per_seq: int, dtype=jnp.bfloat16) -> KVCache:
     L, KV, hd, pg = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim, cfg.page_size
+    # (KV, hd) merged into one 128-aligned lane dim: the Pallas paged
+    # kernel's DMA/matmul alignment requirement (ops/paged_attention.py)
     return KVCache(
-        k_pages=jnp.zeros((L, num_pages, pg, KV, hd), dtype),
-        v_pages=jnp.zeros((L, num_pages, pg, KV, hd), dtype),
+        k_pages=tuple(jnp.zeros((num_pages, pg, KV * hd), dtype)
+                      for _ in range(L)),
+        v_pages=tuple(jnp.zeros((num_pages, pg, KV * hd), dtype)
+                      for _ in range(L)),
         block_tables=jnp.full((batch, max_pages_per_seq), -1, jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
@@ -220,7 +231,7 @@ def prefill(params: Dict, cfg: VLMConfig, ids: jax.Array,
     causal = jnp.tril(jnp.ones((T, T), bool))
     mask = causal[None] & valid[:, None, :]
 
-    k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_pages, v_pages = list(cache.k_pages), list(cache.v_pages)
     bt = cache.block_tables
 
     for li, layer in enumerate(params["layers"]):
@@ -239,10 +250,13 @@ def prefill(params: Dict, cfg: VLMConfig, ids: jax.Array,
 
         # write K/V into this layer's pages: (B, n_pages) physical ids
         pages = bt[:, :n_pages]
-        k_resh = k.reshape(B, n_pages, pg, cfg.n_kv_heads, cfg.head_dim)
-        v_resh = v.reshape(B, n_pages, pg, cfg.n_kv_heads, cfg.head_dim)
-        k_pages = k_pages.at[li, pages].set(k_resh.astype(k_pages.dtype))
-        v_pages = v_pages.at[li, pages].set(v_resh.astype(v_pages.dtype))
+        kvd = cfg.n_kv_heads * cfg.head_dim
+        k_resh = k.reshape(B, n_pages, pg, kvd)
+        v_resh = v.reshape(B, n_pages, pg, kvd)
+        k_pages[li] = k_pages[li].at[pages].set(
+            k_resh.astype(k_pages[li].dtype))
+        v_pages[li] = v_pages[li].at[pages].set(
+            v_resh.astype(v_pages[li].dtype))
 
         o = _attention_full(q, k, v, mask, dtype)
         o = jnp.dot(o, layer["wo"].astype(dtype),
@@ -257,7 +271,7 @@ def prefill(params: Dict, cfg: VLMConfig, ids: jax.Array,
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
     logits = jnp.dot(x_last, params["embed"].T.astype(dtype),
                      preferred_element_type=jnp.float32)
-    new_cache = KVCache(k_pages, v_pages, bt, lengths)
+    new_cache = KVCache(tuple(k_pages), tuple(v_pages), bt, lengths)
     return logits.astype(jnp.float32), new_cache
 
 
@@ -388,10 +402,15 @@ def decode_step_contig(params: Dict, cfg: VLMConfig, tokens: jax.Array,
 
 
 def decode_step(params: Dict, cfg: VLMConfig, tokens: jax.Array,
-                cache: KVCache) -> Tuple[jax.Array, KVCache]:
+                cache: KVCache, use_pallas: bool = False
+                ) -> Tuple[jax.Array, KVCache]:
     """One decode step for all sequences.
 
     tokens: (B,) int32 current input tokens.
+    use_pallas: route attention + page writes through the fused Pallas
+    paged-attention kernel (`msc_tpu/ops/paged_attention.py`) — in-place
+    pool updates, O(live tokens) HBM traffic.  False = pure-XLA fallback
+    (CPU tests; identical numerics up to matmul precision).
     Returns (logits (B, vocab), cache') with lengths advanced by 1.
     Block tables must already cover position lengths[b].
     """
@@ -404,12 +423,13 @@ def decode_step(params: Dict, cfg: VLMConfig, tokens: jax.Array,
 
     x = params["embed"].astype(dtype)[tokens][:, None, :]  # (B, 1, D)
 
-    k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_pages, v_pages = list(cache.k_pages), list(cache.v_pages)
     bt = cache.block_tables
     page_idx = jnp.take_along_axis(bt, (pos // pg)[:, None], axis=1)[:, 0]
     offset = pos % pg
 
     kv_mask = (jnp.arange(Tmax)[None, :] <= pos[:, None])  # attend incl. self
+    KV, G, hd = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads, cfg.head_dim
 
     for li, layer in enumerate(params["layers"]):
         h = _rmsnorm(x, layer["ln1"])
@@ -425,26 +445,36 @@ def decode_step(params: Dict, cfg: VLMConfig, tokens: jax.Array,
         q = _rope(q, pos[:, None], cfg.rope_theta)
         k = _rope(k, pos[:, None], cfg.rope_theta)
 
-        # scatter new K/V into pages at (page_idx, offset)
-        k_pages = k_pages.at[li, page_idx, offset].set(
-            k[:, 0].astype(k_pages.dtype))
-        v_pages = v_pages.at[li, page_idx, offset].set(
-            v[:, 0].astype(v_pages.dtype))
+        if use_pallas:
+            from msc_tpu.ops.paged_attention import paged_decode_attention
 
-        # gather this sequence's pages: (B, max_pages, pg, KV, hd)
-        bt_safe = jnp.maximum(bt, 0)
-        ks = k_pages[li][bt_safe].reshape(B, Tmax, cfg.n_kv_heads, cfg.head_dim)
-        vs = v_pages[li][bt_safe].reshape(B, Tmax, cfg.n_kv_heads, cfg.head_dim)
+            o, k_pages[li], v_pages[li] = paged_decode_attention(
+                q[:, 0], k[:, 0].astype(k_pages[li].dtype),
+                v[:, 0].astype(v_pages[li].dtype),
+                k_pages[li], v_pages[li], jnp.maximum(bt, 0), pos)
+            o = o.reshape(B, 1, cfg.n_heads * hd).astype(dtype)
+        else:
+            # scatter new K/V into pages at (page_idx, offset) — this
+            # functional update copies the pool (the Pallas path exists
+            # precisely to avoid it)
+            k_pages[li] = k_pages[li].at[page_idx, offset].set(
+                k[:, 0].reshape(B, KV * hd).astype(k_pages[li].dtype))
+            v_pages[li] = v_pages[li].at[page_idx, offset].set(
+                v[:, 0].reshape(B, KV * hd).astype(v_pages[li].dtype))
 
-        KV, G, hd = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads, cfg.head_dim
-        qg = q.reshape(B, KV, G, hd)
-        att = jnp.einsum("bkgd,bskd->bkgs", qg, ks,
-                         preferred_element_type=jnp.float32) * hd ** -0.5
-        att = jnp.where(kv_mask[:, None, None], att, -1e30)
-        att = jax.nn.softmax(att, axis=-1)
-        o = jnp.einsum("bkgs,bskd->bkgd", att.astype(dtype), vs,
-                       preferred_element_type=jnp.float32)
-        o = o.reshape(B, 1, cfg.n_heads * hd).astype(dtype)
+            # gather this sequence's pages: (B, max_pages, pg, KV*hd)
+            bt_safe = jnp.maximum(bt, 0)
+            ks = k_pages[li][bt_safe].reshape(B, Tmax, KV, hd)
+            vs = v_pages[li][bt_safe].reshape(B, Tmax, KV, hd)
+
+            qg = q.reshape(B, KV, G, hd)
+            att = jnp.einsum("bkgd,bskd->bkgs", qg, ks,
+                             preferred_element_type=jnp.float32) * hd ** -0.5
+            att = jnp.where(kv_mask[:, None, None], att, -1e30)
+            att = jax.nn.softmax(att, axis=-1)
+            o = jnp.einsum("bkgs,bskd->bkgd", att.astype(dtype), vs,
+                           preferred_element_type=jnp.float32)
+            o = o.reshape(B, 1, cfg.n_heads * hd).astype(dtype)
         o = jnp.dot(o, layer["wo"].astype(dtype),
                     preferred_element_type=jnp.float32).astype(dtype)
         x = x + o
@@ -454,5 +484,5 @@ def decode_step(params: Dict, cfg: VLMConfig, tokens: jax.Array,
     x = _rmsnorm(x, params["ln_f"])[:, 0]
     logits = jnp.dot(x, params["embed"].T.astype(dtype),
                      preferred_element_type=jnp.float32)
-    new_cache = KVCache(k_pages, v_pages, bt, cache.lengths + 1)
+    new_cache = KVCache(tuple(k_pages), tuple(v_pages), bt, cache.lengths + 1)
     return logits.astype(jnp.float32), new_cache

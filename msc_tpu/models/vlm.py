@@ -55,8 +55,16 @@ class VLM:
         # params passed as a real argument (NOT closure/static: that would
         # bake 10^7 weights into the HLO as constants and explode compile
         # time); the cache is donated so the paged pools update in place.
+        # Paged decode routes through the Pallas kernel on TPU backends
+        # (in-place page writes); CPU keeps the XLA fallback.
+        import os
+
+        self.use_pallas_paged = (
+            os.environ.get("MSC_PALLAS_PAGED", "1") == "1"
+            and jax.default_backend() != "cpu")
         self._generate_fn = jax.jit(
-            functools.partial(_generate_impl, cfg),
+            functools.partial(_generate_impl, cfg,
+                              use_pallas=self.use_pallas_paged),
             static_argnames=("max_new_tokens", "use_fsm", "length_bias"),
             donate_argnames=("cache",),
         )
@@ -174,7 +182,8 @@ def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
                    rng: jax.Array, temperature: jax.Array,
                    fsm_trans, fsm_accept, fsm_dist,
                    *, max_new_tokens: int,
-                   use_fsm: bool, length_bias: float):
+                   use_fsm: bool, length_bias: float,
+                   use_pallas: bool = False):
     dparams = params["dec"]
     B = ids.shape[0]
     fsm = FSM(fsm_trans, fsm_accept, fsm_dist) if use_fsm else None
@@ -202,7 +211,8 @@ def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
         # advance: feed sampled token (EOS rows keep stepping PAD but
         # are masked out of the output; cheaper than compaction)
         step_tok = jnp.where(now_done, jnp.int32(PAD_ID), tok)
-        logits, cache = dec.decode_step(dparams, cfg, step_tok, cache)
+        logits, cache = dec.decode_step(dparams, cfg, step_tok, cache,
+                                        use_pallas=use_pallas)
         return i + 1, logits, cache, out, now_done, fsm_state, rng
 
     i, logits, cache, out, done, fsm_state, rng = jax.lax.while_loop(

@@ -1,0 +1,170 @@
+"""Pipeline parallelism over decoder layers (GPipe schedule, SPMD form).
+
+SURVEY.md section 2.3 item 4: stage the decoder layers over a ``pipe``
+mesh axis with microbatched execution — the scaling axis for the
+msc-vlm-m+ families whose layer stack outgrows one chip next to its KV
+caches.  The reference has no counterpart (its model lives at Azure).
+
+Design: ``shard_map`` over a mesh with a ``pipe`` axis.  Each device
+holds L/S contiguous layers (leading-axis-stacked pytree sharded over
+``pipe``).  The batch splits into ``n_micro`` microbatches; at schedule
+tick t, stage s processes microbatch (t - s) — hidden states hop to the
+next stage with a single ``ppermute`` per tick, riding ICI neighbors.
+Bubble fraction is (S-1)/(n_micro+S-1), the classic GPipe overhead.
+
+Embedding/final-norm/logits are computed on the devices that need them
+(stage 0 embeds, the last stage projects); results return replicated via
+a masked psum — fine at test/dryrun scale, and the seam where a real
+deployment would keep activations sharded.
+
+Forward-only here (serving prefill / dryrun); the training path keeps
+DP x TP (msc_tpu/training/train.py) where PP buys nothing at current
+model sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from msc_tpu.config import VLMConfig
+from msc_tpu.models.decoder import (
+    _attention_full,
+    _mlp,
+    _rmsnorm,
+    _rope,
+    embed_tokens,
+)
+from msc_tpu.models.tokenizer import IMG_ID, PAD_ID
+
+
+def make_pipe_mesh(pipe: int, data: int = 1,
+                   devices: Optional[list] = None) -> Mesh:
+    """(data, pipe) mesh; the pipe axis carries the layer stages."""
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    assert data * pipe == len(devices), \
+        f"mesh {data}x{pipe} != {len(devices)} devices"
+    arr = np.asarray(devices).reshape(data, pipe)
+    return Mesh(arr, ("data", "pipe"))
+
+
+def stack_stage_params(params: Dict, n_stages: int) -> Dict:
+    """Stack the per-layer param dicts into leading-axis arrays shaped
+    (n_stages, layers_per_stage, ...) so the stage dim shards over
+    ``pipe`` and each device's shard_map shard is its own stage's
+    layers."""
+    layers = params["layers"]
+    L = len(layers)
+    assert L % n_stages == 0, f"{L} layers not divisible into {n_stages} stages"
+    lps = L // n_stages
+    return jax.tree.map(
+        lambda *xs: jnp.stack(xs).reshape((n_stages, lps) + xs[0].shape),
+        *layers)
+
+
+def _apply_layers(stage_layers, cfg: VLMConfig, x, positions, mask, dtype):
+    """Run this stage's local layers (leading dim = layers_per_stage)."""
+    lps = jax.tree.leaves(stage_layers)[0].shape[0]
+    B, T, D = x.shape
+
+    def one(x, layer):
+        h = _rmsnorm(x, layer["ln1"])
+        q = jnp.dot(h, layer["wq"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        k = jnp.dot(h, layer["wk"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        v = jnp.dot(h, layer["wv"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
+                  cfg.rope_theta)
+        k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
+                  cfg.rope_theta)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        o = _attention_full(q, k, v, mask, dtype)
+        x = x + jnp.dot(o, layer["wo"].astype(dtype),
+                        preferred_element_type=jnp.float32).astype(dtype)
+        return x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
+                        cfg.moe_top_k), None
+
+    x, _ = jax.lax.scan(
+        lambda carry, layer: one(carry, layer), x, stage_layers, length=lps)
+    return x
+
+
+def pp_forward_logits(params: Dict, cfg: VLMConfig, ids: jax.Array,
+                      img_embeds: Optional[jax.Array], mesh: Mesh,
+                      n_micro: int = 4) -> jax.Array:
+    """Pipeline-parallel teacher-forced forward.
+
+    ids: (B, T) right-padded; B must divide by n_micro (and by the
+    ``data`` axis if >1).  Returns (B, T, vocab) float32 logits,
+    replicated — token-identical to ``training.train.forward_logits``
+    up to matmul reduction order.
+    """
+    dparams = params["dec"]
+    S = mesh.shape["pipe"]
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    B, T = ids.shape
+    assert B % n_micro == 0, f"batch {B} not divisible into {n_micro} microbatches"
+
+    x = embed_tokens(dparams, ids, img_embeds, IMG_ID, dtype)   # (B, T, D)
+    valid = ids != PAD_ID
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    mask_full = jnp.tril(jnp.ones((T, T), bool))[None] & valid[:, None, :]
+
+    stacked = stack_stage_params(dparams, S)       # (S, lps, ...)
+    mb = B // n_micro
+    x_mb = x.reshape(n_micro, mb, T, -1)
+    pos_mb = positions.reshape(n_micro, mb, T)
+    mask_mb = mask_full.reshape(n_micro, mb, T, T)
+
+    def stage_fn(local_layers, x_mb, pos_mb, mask_mb):
+        # local_layers leading dims (1, lps, ...) — drop the stage dim
+        local_layers = jax.tree.map(lambda a: a[0], local_layers)
+        stage = jax.lax.axis_index("pipe")
+        n_ticks = n_micro + S - 1
+        buf = jnp.zeros_like(x_mb[0])              # incoming hidden state
+        outs = jnp.zeros_like(x_mb)                # filled on last stage
+
+        def tick(t, carry):
+            buf, outs = carry
+            m = t - stage                          # this stage's microbatch
+            active = (m >= 0) & (m < n_micro)
+            m_safe = jnp.clip(m, 0, n_micro - 1)
+            inp = jnp.where(stage == 0, x_mb[m_safe], buf)
+            y = _apply_layers(local_layers, cfg, inp, pos_mb[m_safe],
+                              mask_mb[m_safe], dtype)
+            y = jnp.where(active, y, inp)
+            # last stage banks its finished microbatch
+            outs = jnp.where(
+                active & (stage == S - 1),
+                outs.at[m_safe].set(y), outs)
+            # hop to the next stage (ring; the wraparound value is unused
+            # because stage 0 always reads from x_mb)
+            buf = jax.lax.ppermute(
+                y, "pipe", [(i, (i + 1) % S) for i in range(S)])
+            return buf, outs
+
+        buf, outs = jax.lax.fori_loop(0, n_ticks, tick, (buf, outs))
+        # replicate the last stage's outputs to every pipe member
+        outs = jax.lax.psum(
+            jnp.where(stage == S - 1, outs, jnp.zeros_like(outs)), "pipe")
+        return outs
+
+    in_spec = (P("pipe"), P(), P(), P())
+    out_spec = P()
+    y_mb = jax.shard_map(
+        stage_fn, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
+        check_vma=False,
+    )(stacked, x_mb, pos_mb, mask_mb)
+
+    y = y_mb.reshape(B, T, -1)
+    y = _rmsnorm(y, dparams["ln_f"])
+    return jnp.dot(y, dparams["embed"].T.astype(dtype),
+                   preferred_element_type=jnp.float32).astype(jnp.float32)

@@ -227,7 +227,7 @@ def main():
     ap.add_argument("--holdout", type=int, default=8)
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--max-len", type=int, default=1152)
+    ap.add_argument("--max-len", type=int, default=1536)
     ap.add_argument("--max-len-long", type=int, default=2560)
     ap.add_argument("--preset", default="msc-vlm-s")
     ap.add_argument("--tasks", default="all", choices=["all", "mqa"])
@@ -292,8 +292,9 @@ def main():
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
     # warmup + cosine decay: the round-1 constant-lr run destabilized at
     # 20k steps (PERF.md); the schedule is the missing knob
+    warmup = min(args.warmup, max(1, args.steps // 10))
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, args.warmup, args.steps, end_value=args.lr * 0.05)
+        0.0, args.lr, warmup, args.steps, end_value=args.lr * 0.05)
     optimizer = make_optimizer(lr=schedule)
     state = init_train_state(params, optimizer)
     step_fn = make_train_step(cfg, optimizer)

@@ -51,3 +51,58 @@ def test_flash_uneven_blocks():
     rows = np.asarray(valid)
     np.testing.assert_allclose(np.asarray(got)[rows], np.asarray(want)[rows],
                                rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Pallas paged-decode attention (round 2)
+# ---------------------------------------------------------------------------
+
+def test_paged_decode_attention_matches_reference():
+    """Kernel (interpret mode) vs a float64 numpy reference: attention
+    output, in-place page writes, and untouched-page preservation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from msc_tpu.ops.paged_attention import paged_decode_attention
+
+    rng = np.random.default_rng(0)
+    B, H, KV, hd, page, P, maxp = 3, 8, 2, 64, 16, 32, 4
+    q = jnp.asarray(rng.normal(size=(B, H, hd)), jnp.float32)
+    nk = jnp.asarray(rng.normal(size=(B, KV, hd)), jnp.float32)
+    nv = jnp.asarray(rng.normal(size=(B, KV, hd)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(P, page, KV * hd)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(P, page, KV * hd)), jnp.float32)
+    bt = jnp.asarray(rng.permutation(P)[: B * maxp].reshape(B, maxp),
+                     jnp.int32)
+    lengths = jnp.asarray([5, 17, 30], jnp.int32)
+
+    o, kp2, vp2 = paged_decode_attention(q, nk, nv, kp, vp, bt, lengths,
+                                         interpret=True)
+
+    kp_ref = np.array(kp, np.float64).reshape(P, page, KV, hd)
+    vp_ref = np.array(vp, np.float64).reshape(P, page, KV, hd)
+    for b in range(B):
+        pos = int(lengths[b])
+        kp_ref[int(bt[b, pos // page]), pos % page] = nk[b]
+        vp_ref[int(bt[b, pos // page]), pos % page] = nv[b]
+    assert np.abs(np.array(kp2).reshape(P, page, KV, hd) - kp_ref).max() == 0
+    assert np.abs(np.array(vp2).reshape(P, page, KV, hd) - vp_ref).max() == 0
+
+    for b in range(B):
+        pos = int(lengths[b])
+        ks = kp_ref[np.array(bt[b])].reshape(maxp * page, KV, hd)[: pos + 1]
+        vs = vp_ref[np.array(bt[b])].reshape(maxp * page, KV, hd)[: pos + 1]
+        for h in range(H):
+            kv = h // (H // KV)
+            s = (ks[:, kv, :] @ np.array(q[b, h], np.float64)) * hd ** -0.5
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            ref = p @ vs[:, kv, :]
+            assert np.abs(np.array(o)[b, h] - ref).max() < 1e-5
+
+
+def test_decode_step_xla_paged_matches_contig():
+    """The XLA paged fallback and contiguous layouts stay token-identical
+    (existing guarantee); the Pallas path is covered by the kernel test
+    above plus the TPU-side engine equality run."""
+    # covered by tests/test_serving.py::test_engine_paged_layout_matches_contiguous
+    pass

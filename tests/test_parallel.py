@@ -165,3 +165,52 @@ def test_moe_family_trains_and_serves():
         state, loss = step_fn(state, ids, None, mask)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_pp_forward_token_identical():
+    """Pipeline-parallel forward (pipe=4, GPipe microbatches) must match
+    the single-program forward logits (SURVEY.md section 2.3 item 4)."""
+    import dataclasses
+
+    import numpy as np
+
+    from msc_tpu.models.vlm import init_vlm_params
+    from msc_tpu.parallel.pp import make_pipe_mesh, pp_forward_logits
+    from msc_tpu.training.train import forward_logits
+
+    cfg = dataclasses.replace(TINY, n_layers=4)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, T = 8, 32
+    ids = rng.integers(0, 200, size=(B, T)).astype(np.int32)
+    ids[:, -5:] = PAD_ID
+
+    ref = forward_logits(params, cfg, jnp.asarray(ids), None)
+    mesh = make_pipe_mesh(pipe=4, data=1, devices=jax.devices()[:4])
+    got = pp_forward_logits(params, cfg, jnp.asarray(ids), None, mesh,
+                            n_micro=4)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pp_mesh_data_axis():
+    """(data x pipe) mesh composes: 2x4 over 8 virtual devices."""
+    import dataclasses
+
+    import numpy as np
+
+    from msc_tpu.models.vlm import init_vlm_params
+    from msc_tpu.parallel.pp import make_pipe_mesh, pp_forward_logits
+    from msc_tpu.training.train import forward_logits
+
+    cfg = dataclasses.replace(TINY, n_layers=4)
+    params = init_vlm_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 200, size=(4, 16)).astype(np.int32)
+    mesh = make_pipe_mesh(pipe=4, data=2, devices=jax.devices()[:8])
+    got = pp_forward_logits(params, cfg, jnp.asarray(ids), None, mesh,
+                            n_micro=2)
+    ref = forward_logits(params, cfg, jnp.asarray(ids), None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
