@@ -412,6 +412,8 @@ class LiDARAgent(BaseAgent):
                          else o.category.replace("_", " ")),
             "direction": camera_sextant(o.position.tolist()),
             "distance": round(o.distance, 1),
+            "position": [round(float(o.position[0]), 1),
+                         round(float(o.position[1]), 1)],
             "state": "stopped",
         } for o in detected]
         marker = f"{DET_MARKER} {json.dumps(payload)}"

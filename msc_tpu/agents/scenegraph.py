@@ -289,6 +289,10 @@ Object details:
             "category": o["category"],
             "direction": camera_sextant(o["position"]),
             "distance": round(o["distance"], 1),
+            # ego-frame coordinates ride along so downstream captions can
+            # answer <loc> questions (VERDICT round-1 item 7)
+            "position": [round(float(o["position"][0]), 1),
+                         round(float(o["position"][1]), 1)],
             "state": o["state"],
             "visibility": o["visibility"],
         } for o in objects]

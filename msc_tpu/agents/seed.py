@@ -78,6 +78,18 @@ CRITICAL INSTRUCTIONS:
 {_FOCUS_PROMPTS.get(focus_area, '')}"""
 
 
+def _format_observation(o) -> str:
+    """Render one Layer-1 observation for a prompt.  Dict observations
+    (the camera agent's {view -> text}) format as per-view blocks rather
+    than ``str(dict)`` — machine-readable marker lines (OBJECTS_JSON /
+    CAMERAS_JSON / ...) must stay at line starts to survive the
+    text-channel layers (serving/analytic.py extract_markers is
+    line-anchored)."""
+    if isinstance(o, dict):
+        return "\n".join(f"{k}:\n{v}" for k, v in o.items())
+    return str(o)
+
+
 class FocusedCaptionAgent(BaseAgent):
     """One focus-area caption (parity `seedfeature_agent.py:7-92`)."""
 
@@ -87,7 +99,8 @@ class FocusedCaptionAgent(BaseAgent):
 
     def build_call(self, transformed_content: Dict) -> dict:
         observations = transformed_content.get("observations", [])
-        observations_text = "\n\n".join(str(o) for o in observations if o)
+        observations_text = "\n\n".join(
+            _format_observation(o) for o in observations if o)
         user = (f"Write a comprehensive {self.focus_area} caption for this "
                 f"autonomous driving scene.\n\nScene Information:\n"
                 f"{observations_text}\n\nWrite a detailed, flowing caption "

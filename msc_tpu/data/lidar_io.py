@@ -35,16 +35,18 @@ def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
         return ctypes.CDLL(str(_LIB_PATH))
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_LIB_PATH)],
-            check=True, capture_output=True, timeout=120,
-        )
-        return ctypes.CDLL(str(_LIB_PATH))
-    except Exception:
-        _build_failed = True
-        return None
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-o", str(_LIB_PATH)]
+    # -ljpeg enables the native JPEG decode path; retry without it on
+    # systems lacking libjpeg (the C++ stubs take over via __has_include)
+    for cmd in (base + ["-ljpeg", "-lpthread"], base + ["-lpthread"]):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return ctypes.CDLL(str(_LIB_PATH))
+        except Exception:
+            continue
+    _build_failed = True
+    return None
 
 
 def get_native() -> Optional[ctypes.CDLL]:
@@ -70,6 +72,19 @@ def get_native() -> Optional[ctypes.CDLL]:
                     ctypes.c_float,
                     ctypes.c_int32,
                     ctypes.POINTER(ctypes.c_int32),
+                ]
+                u8p = ctypes.POINTER(ctypes.c_uint8)
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                lib.has_jpeg.restype = ctypes.c_int32
+                lib.decode_jpeg_file.restype = ctypes.c_int32
+                lib.decode_jpeg_file.argtypes = [
+                    ctypes.c_char_p, u8p, i32p, i32p,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ]
+                lib.decode_jpeg_batch.restype = ctypes.c_int32
+                lib.decode_jpeg_batch.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int32, u8p, i32p, i32p,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ]
                 _lib = lib
     return _lib

@@ -157,10 +157,11 @@ def generate_mock_mqa(loader, num_scenes: int = 2,
             # reference's object-only compare)
             if total:
                 obj = sorted(total)[0]
+                cands = [a for a in anns
+                         if CATEGORY_TO_MQA_OBJECT.get(a["category_name"]) == obj]
                 dists = [float(np.hypot(a["translation"][0],
                                         a["translation"][1]))
-                         for a in anns
-                         if CATEGORY_TO_MQA_OBJECT.get(a["category_name"]) == obj]
+                         for a in cands]
                 rows.append({
                     "sample_token": token,
                     "question": (f"How far away is the nearest "
@@ -168,6 +169,26 @@ def generate_mock_mqa(loader, num_scenes: int = 2,
                     "answer": (f"The nearest <obj>{obj}</obj> is "
                                f"<dst>{min(dists):.1f}m</dst> away."),
                     "question_type": "distance",
+                })
+                # <loc> family: coordinates of the nearest such object
+                near = cands[int(np.argmin(dists))]
+                x, y = near["translation"][0], near["translation"][1]
+                rows.append({
+                    "sample_token": token,
+                    "question": f"Where is the nearest <obj>{obj}</obj>?",
+                    "answer": (f"The nearest <obj>{obj}</obj> is at "
+                               f"<loc>({x:.1f}, {y:.1f})</loc>."),
+                    "question_type": "location",
+                })
+                # <cam> family: which view shows it
+                rows.append({
+                    "sample_token": token,
+                    "question": (f"Which camera shows the nearest "
+                                 f"<obj>{obj}</obj>?"),
+                    "answer": (f"The <obj>{obj}</obj> appears in the "
+                               f"<cam>{camera_sextant(near['translation'])}"
+                               f"</cam> camera."),
+                    "question_type": "camera",
                 })
     return pd.DataFrame(rows)
 

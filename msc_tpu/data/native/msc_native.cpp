@@ -141,3 +141,130 @@ int32_t dbscan(const float* points, int64_t n, float eps, int32_t min_samples,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG decode (SURVEY.md section 2.2 row 1: host C++ decode feeding the
+// fused device resize/normalize kernel).  Replaces PIL's per-frame decode
+// (src/nuscenes_loader.py:136-144): libjpeg with DCT scaling
+// (scale_denom in {1,2,4,8}) decodes AND coarsely downscales in one pass,
+// and decode_jpeg_batch fans the 6 camera frames out over threads
+// (threaded sample assembly).  Compiled only when <jpeglib.h> exists;
+// callers probe has_jpeg() and fall back to PIL.
+// ---------------------------------------------------------------------------
+
+#if __has_include(<jpeglib.h>)
+
+#include <csetjmp>
+#include <thread>
+#include <cstdio>
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(e->jump, 1);
+}
+
+// Decode one file into `out` (row-major RGB u8, capacity max_h*max_w*3).
+// Writes decoded dims to *h/*w.  Returns 0 ok, -1 error.
+int decode_one(const char* path, uint8_t* out, int32_t* h, int32_t* w,
+               int32_t max_h, int32_t max_w, int32_t scale_denom) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = jpeg_err_exit;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = (scale_denom == 2 || scale_denom == 4 ||
+                       scale_denom == 8) ? scale_denom : 1;
+  jpeg_start_decompress(&cinfo);
+  const int32_t oh = static_cast<int32_t>(cinfo.output_height);
+  const int32_t ow = static_cast<int32_t>(cinfo.output_width);
+  if (oh > max_h || ow > max_w || cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -1;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + static_cast<int64_t>(cinfo.output_scanline) * ow * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  *h = oh;
+  *w = ow;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t has_jpeg() { return 1; }
+
+int32_t decode_jpeg_file(const char* path, uint8_t* out, int32_t* h,
+                         int32_t* w, int32_t max_h, int32_t max_w,
+                         int32_t scale_denom) {
+  return decode_one(path, out, h, w, max_h, max_w, scale_denom);
+}
+
+// paths: n zero-terminated strings back to back.  out: n frames of
+// max_h*max_w*3 (each frame's decoded dims land in hs[i]/ws[i]).
+// Returns the number of successful decodes (failed frames get hs[i] = -1).
+int32_t decode_jpeg_batch(const char* paths, int32_t n, uint8_t* out,
+                          int32_t* hs, int32_t* ws, int32_t max_h,
+                          int32_t max_w, int32_t scale_denom) {
+  std::vector<const char*> ptrs;
+  const char* p = paths;
+  for (int32_t i = 0; i < n; ++i) {
+    ptrs.push_back(p);
+    p += std::strlen(p) + 1;
+  }
+  const int64_t frame = static_cast<int64_t>(max_h) * max_w * 3;
+  std::vector<std::thread> workers;
+  std::vector<int32_t> ok(static_cast<size_t>(n), 0);
+  for (int32_t i = 0; i < n; ++i) {
+    workers.emplace_back([&, i]() {
+      ok[static_cast<size_t>(i)] =
+          decode_one(ptrs[static_cast<size_t>(i)], out + i * frame, hs + i,
+                     ws + i, max_h, max_w, scale_denom) == 0;
+      if (!ok[static_cast<size_t>(i)]) hs[i] = -1;
+    });
+  }
+  for (auto& t : workers) t.join();
+  int32_t good = 0;
+  for (int32_t v : ok) good += v;
+  return good;
+}
+
+}  // extern "C"
+
+#else  // no <jpeglib.h>
+
+extern "C" {
+int32_t has_jpeg() { return 0; }
+int32_t decode_jpeg_file(const char*, uint8_t*, int32_t*, int32_t*, int32_t,
+                         int32_t, int32_t) { return -1; }
+int32_t decode_jpeg_batch(const char*, int32_t, uint8_t*, int32_t*, int32_t*,
+                          int32_t, int32_t, int32_t) { return 0; }
+}
+
+#endif

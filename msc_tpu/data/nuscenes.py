@@ -137,10 +137,12 @@ class NuScenesLoader:
 
     # -- private ----------------------------------------------------------
     def _load_camera(self, cam_token: str):
-        from PIL import Image
+        # native libjpeg decode (threaded C++ path with PIL fallback,
+        # SURVEY.md section 2.2 row 1) replaces PIL's per-frame decode
+        from msc_tpu.data.image_io import decode_jpeg
 
         cam_data = self.nusc.get("sample_data", cam_token)
-        img = np.asarray(Image.open(self.dataroot / cam_data["filename"]))
+        img = decode_jpeg(str(self.dataroot / cam_data["filename"]))
         return img, cam_data["channel"]
 
     def _load_lidar(self, lidar_token: str) -> np.ndarray:
@@ -219,6 +221,22 @@ _MOCK_CATEGORIES = [
     ("movable_object.trafficcone", (0.4, 0.4, 0.8), 30),
 ]
 
+# Flat render colors for the mock-world's "appearance model": annotations
+# draw as these exact RGB rectangles in their sextant's camera image, and
+# the analytic camera backend detects them from pixels alone
+# (`msc_tpu/serving/analytic.py` camera_describe).  Values are chosen to
+# be unambiguous against the sky->road gradient background.
+MOCK_RENDER_COLORS = {
+    "vehicle.car": (220, 30, 30),
+    "vehicle.truck": (30, 80, 220),
+    "vehicle.bus.rigid": (240, 180, 20),
+    "human.pedestrian.adult": (30, 200, 60),
+    "vehicle.bicycle": (200, 40, 200),
+    "vehicle.motorcycle": (20, 210, 210),
+    "movable_object.barrier": (250, 120, 30),
+    "movable_object.trafficcone": (250, 240, 90),
+}
+
 _MOCK_ATTR = {
     "vehicle.car": "vehicle.moving",
     "vehicle.truck": "vehicle.parked",
@@ -288,7 +306,7 @@ class MockNuScenesLoader:
             point_cloud = rng.standard_normal((10000, 4)).astype(np.float32)
         else:
             point_cloud = self._make_point_cloud(rng, annotations)
-        images = [self._make_image(rng, k) for k in range(6)]
+        images = [self._make_image(rng, k, annotations) for k in range(6)]
 
         scene_id = sample_token.split("_")[2] if len(sample_token.split("_")) > 2 else "000"
         return {
@@ -375,7 +393,8 @@ class MockNuScenesLoader:
         rng.shuffle(pc, axis=0)
         return pc.astype(np.float32)
 
-    def _make_image(self, rng: np.random.Generator, cam_idx: int) -> np.ndarray:
+    def _make_image(self, rng: np.random.Generator, cam_idx: int,
+                    annotations: Optional[List[Dict]] = None) -> np.ndarray:
         h, w, _ = self.image_shape
         # Smooth sky->road gradient plus per-camera tint; cheap and
         # deterministic (JPEG-friendly unlike the reference's random noise).
@@ -387,7 +406,58 @@ class MockNuScenesLoader:
         ], axis=-1)
         noise = rng.normal(0, 4, size=(-(-h // 8), -(-w // 8), 3)).astype(np.float32)
         noise = np.kron(noise, np.ones((8, 8, 1), np.float32))[:h, :w]
-        return np.clip(base + noise, 0, 255).astype(np.uint8)
+        img = np.clip(base + noise, 0, 255).astype(np.uint8)
+        if annotations:
+            self._render_annotations(img, cam_idx, annotations)
+        return img
+
+    def _render_annotations(self, img: np.ndarray, cam_idx: int,
+                            annotations: List[Dict]):
+        """Draw each annotation visible in this camera's sextant as a
+        flat-color rectangle (color encodes category, size encodes range)
+        — the mock-world's 'appearance model'.  This is what makes the
+        CAMERA modality carry real scene content: the analytic camera
+        backend detects these boxes from pixels alone, so camera-only
+        ablations are grounded in the images, not boilerplate (round-1
+        VERDICT item 7)."""
+        from msc_tpu.data.mqa import CHANNEL_TO_CAM, camera_sextant
+
+        h, w, _ = img.shape
+        direction = CHANNEL_TO_CAM[self.camera_channels[cam_idx]]
+        drawn: List[tuple] = []
+        for ann in sorted(annotations,
+                          key=lambda a: -float(np.hypot(a["translation"][0],
+                                                        a["translation"][1]))):
+            if camera_sextant(ann["translation"]) != direction:
+                continue
+            color = MOCK_RENDER_COLORS.get(ann["category_name"])
+            if color is None:
+                continue
+            x, y = ann["translation"][0], ann["translation"][1]
+            r = max(1.0, float(np.hypot(x, y)))
+            box_h = int(np.clip(2400.0 / r, 24, 400))
+            box_w = max(12, int(box_h * 0.7))
+            # horizontal position from bearing within the 60-degree sextant
+            ang = np.degrees(np.arctan2(y, x))
+            centers = {"front": 0, "front left": 60, "back left": 120,
+                       "back": 180, "back right": 240, "front right": 300}
+            rel = ((ang - centers[direction]) + 180) % 360 - 180  # [-30, 30)
+            u = 0.5 - (rel / 60.0) * 0.8
+            cx = int(np.clip(u * w, box_w // 2 + 2, w - box_w // 2 - 2))
+            cy = int(h * 0.52 + h * 0.30 * (1.0 - min(r, 40.0) / 40.0))
+            # nudge right until clear of previously drawn boxes (merged
+            # blobs would undercount in the detector)
+            for _ in range(16):
+                x0, x1 = cx - box_w // 2, cx + box_w // 2
+                y0, y1 = cy - box_h // 2, cy + box_h // 2
+                if all(x1 + 2 < dx0 or x0 - 2 > dx1 or y1 + 2 < dy0
+                       or y0 - 2 > dy1 for dx0, dx1, dy0, dy1 in drawn):
+                    break
+                cx = (cx + box_w + 6) % (w - box_w) + box_w // 2
+            x0 = int(np.clip(cx - box_w // 2, 0, w - box_w - 1))
+            y0 = int(np.clip(cy - box_h // 2, 0, h - box_h - 1))
+            img[y0: y0 + box_h, x0: x0 + box_w] = color
+            drawn.append((x0, x0 + box_w, y0, y0 + box_h))
 
 
 def create_loader(dataroot: Optional[str] = None, version: str = "v1.0-mini",

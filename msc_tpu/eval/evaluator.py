@@ -23,7 +23,37 @@ import numpy as np
 import pandas as pd
 
 from msc_tpu.data.mqa import load_mqa_csv
-from msc_tpu.eval.synonyms import normalize_object_name
+from msc_tpu.eval.synonyms import normalize_camera, normalize_object_name
+
+
+def _numbers(text: str) -> List[float]:
+    return [float(x) for x in re.findall(r"-?\d+(?:\.\d+)?", text or "")]
+
+
+def _tag_content_hits(pred: Dict[str, Any], gt: Dict[str, Any]
+                      ) -> Dict[str, float]:
+    """Content correctness of the non-target tags, for GT answers that
+    carry them: <cam> by normalized direction; <dst> numeric within 10%
+    or 1.0 m; <loc> both coordinates within 1.0 unit."""
+    hits: Dict[str, float] = {}
+    if gt.get("camera"):
+        hits["cam"] = float(
+            pred.get("camera") is not None
+            and normalize_camera(pred["camera"]) == normalize_camera(
+                gt["camera"]))
+    if gt.get("distance"):
+        g = _numbers(gt["distance"])
+        p = _numbers(pred.get("distance") or "")
+        hits["dst"] = float(
+            bool(g) and bool(p)
+            and abs(p[0] - g[0]) <= max(1.0, 0.1 * abs(g[0])))
+    if gt.get("location"):
+        g = _numbers(gt["location"])
+        p = _numbers(pred.get("location") or "")
+        hits["loc"] = float(
+            len(g) >= 2 and len(p) >= 2
+            and abs(p[0] - g[0]) <= 1.0 and abs(p[1] - g[1]) <= 1.0)
+    return hits
 
 
 @dataclasses.dataclass
@@ -37,6 +67,14 @@ class MQAMetrics:
     total_questions: int
     correct_answers: int
     per_tag_accuracy: Dict[str, Any]
+    # msc_tpu extension (not in the reference's MQAMetrics): content
+    # accuracy of the non-target tags — <cam> (normalized direction),
+    # <dst>/<loc> (numeric, 10% / 1.0-unit tolerance) — measured over
+    # questions whose GT carries that tag.  The reference parses these
+    # tags but never scores their content; without this, loc/cam/dst
+    # buckets score trivially (round-1 VERDICT item 7).
+    tag_content_accuracy: Dict[str, float] = dataclasses.field(
+        default_factory=dict)
 
 
 class ComprehensiveMQAEvaluator:
@@ -140,11 +178,14 @@ class ComprehensiveMQAEvaluator:
         by_type = defaultdict(list)
         by_tag = defaultdict(list)
 
+        tag_hits: Dict[str, List[float]] = defaultdict(list)
         for _, row in results_df.iterrows():
             try:
                 pred = self.parse_tags_from_answer(row["predicted_answer"])
                 gt = self.parse_ground_truth_answer(row["ground_truth_answer"])
                 m = self.compare_answers(pred["objects"], gt["objects"])
+                for kind, hit in _tag_content_hits(pred, gt).items():
+                    tag_hits[kind].append(hit)
                 all_metrics.append(m)
                 by_type[row["question_type"]].append(m)
                 qtags = self.parse_tags_from_question(row["question"])
@@ -186,6 +227,8 @@ class ComprehensiveMQAEvaluator:
             total_questions=total,
             correct_answers=int(exact),
             per_tag_accuracy=per_tag,
+            tag_content_accuracy={k: float(np.mean(v))
+                                  for k, v in tag_hits.items()},
         )
 
     # -- reporting ---------------------------------------------------------

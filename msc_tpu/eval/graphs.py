@@ -143,13 +143,100 @@ class MQAResultsVisualizer:
         plt.close(fig)
         return path
 
+    def print_per_scene_analysis(self, top_n: int = 20):
+        """Per-scene accuracy table + best/worst callouts (parity with the
+        reference's per-scene analysis, `src/graphs.py:137-193`)."""
+        if "sample_token" not in self.results.columns:
+            return
+        rows = []
+        for token, sub in self.results.groupby("sample_token"):
+            rows.append((str(token), self._accuracy(sub), len(sub)))
+        rows.sort(key=lambda r: r[1])
+        print(f"\n{'Scene (sample token)':<40} {'Accuracy':>10} {'N':>6}")
+        print("-" * 58)
+        for token, acc, n in rows[:top_n]:
+            print(f"{token[:38]:<40} {acc:>10.2%} {n:>6}")
+        if rows:
+            worst, best = rows[0], rows[-1]
+            print(f"\nhardest scene: {worst[0][:38]} ({worst[1]:.2%}); "
+                  f"easiest scene: {best[0][:38]} ({best[1]:.2%})")
+
+    def print_tag_content_accuracy(self):
+        """Content accuracy of the <cam>/<dst>/<loc> tags (msc_tpu
+        extension; the reference never scores these)."""
+        m = self.evaluator.compute_metrics(self.results)
+        if m.tag_content_accuracy:
+            print("\nTag-content accuracy (cam/dst/loc):")
+            for k, v in sorted(m.tag_content_accuracy.items()):
+                print(f"  <{k}>: {v:.2%}")
+
+    def plot_per_scene_accuracy(self, top_n: int = 25):
+        """Per-scene accuracy bars, worst-first (chart form of the
+        reference's per-scene tables)."""
+        if "sample_token" not in self.results.columns:
+            return None
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        rows = [(str(t)[:20], self._accuracy(sub), len(sub))
+                for t, sub in self.results.groupby("sample_token")]
+        rows.sort(key=lambda r: r[1])
+        rows = rows[:top_n]
+        if not rows:
+            return None
+        fig, ax = plt.subplots(figsize=(9, 0.4 * len(rows) + 2))
+        ax.barh([r[0] for r in rows], [r[1] for r in rows], color="#956cb4")
+        for i, (_, acc, n) in enumerate(rows):
+            ax.text(acc, i, f" n={n}", va="center", fontsize=8)
+        ax.set_xlabel("exact-match accuracy")
+        ax.set_title(f"Per-scene MQA accuracy (hardest {len(rows)})")
+        fig.tight_layout()
+        path = os.path.join(self.output_dir, "per_scene_accuracy.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+
+    def plot_baseline_vs_best(self):
+        """Best pipeline config vs the raw-VLM baseline (parity
+        `src/graphs.py:449-507`)."""
+        if self.baseline is None:
+            return None
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        per_config = self._per_config()
+        best_name = max(per_config, key=per_config.get)
+        vals = {"baseline (raw VLM)": self._accuracy(self.baseline),
+                f"pipeline ({best_name})": per_config[best_name]}
+        fig, ax = plt.subplots(figsize=(7, 4))
+        bars = ax.bar(list(vals), list(vals.values()),
+                      color=["#d65f5f", "#4878cf"])
+        for b, v in zip(bars, vals.values()):
+            ax.text(b.get_x() + b.get_width() / 2, v, f"{v:.2%}",
+                    ha="center", va="bottom")
+        ax.set_ylabel("exact-match accuracy")
+        ax.set_title("Agentic pipeline (best config) vs raw-VLM baseline")
+        fig.tight_layout()
+        path = os.path.join(self.output_dir, "baseline_vs_best.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+
     def generate_all(self):
         self.print_overall_performance()
         self.print_per_question_type()
+        self.print_per_scene_analysis()
+        self.print_tag_content_accuracy()
         paths = [self.plot_config_comparison(),
                  self.plot_question_type_accuracy(),
                  self.plot_top_tags("obj"),
-                 self.plot_top_tags("cam")]
+                 self.plot_top_tags("cam"),
+                 self.plot_per_scene_accuracy(),
+                 self.plot_baseline_vs_best()]
         print(f"charts -> {self.output_dir}")
         return [p for p in paths if p]
 

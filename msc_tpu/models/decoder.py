@@ -142,17 +142,29 @@ def _mlp(layer, x, dtype, top_k: int = 2):
                    preferred_element_type=jnp.float32).astype(dtype)
 
 
-def _moe_ffn(layer, x, dtype, top_k: int):
+def _moe_ffn(layer, x, dtype, top_k: int, dispatch: str = "capacity",
+             capacity_factor: float = 1.5):
     """Top-k mixture-of-experts SwiGLU.
 
-    Dense-dispatch formulation: every expert computes on every token and a
-    top-k-masked softmax combines them.  Static shapes, exact top-k
-    semantics, and the expert dimension shards cleanly over the mesh
-    "expert" axis (GSPMD reduces the combine); a capacity-based gather
-    kernel is the round-2 efficiency upgrade for large E.
+    dispatch="capacity" (default): sort-based token dispatch into
+    per-expert buffers of capacity C = ceil(N * top_k / E *
+    capacity_factor) — each token's FFN FLOPs are O(top_k), not O(E)
+    (round-1 VERDICT item 8: dense dispatch bought capacity, no
+    efficiency).  Tokens overflowing an expert's buffer drop that
+    expert's contribution (standard Switch/GShard semantics); with ample
+    capacity the result equals dense dispatch exactly (tested).
+
+    dispatch="dense": every expert computes on every token and a
+    top-k-masked softmax combines them — exact, O(E), kept as the
+    reference semantics / fallback.
+
+    The expert dimension shards over the mesh "expert" axis either way
+    (the batched per-expert einsums partition on E).
 
     x: (B, T, D) -> (B, T, D).
     """
+    if dispatch == "capacity":
+        return _moe_ffn_capacity(layer, x, dtype, top_k, capacity_factor)
     E = layer["we_gate"].shape[0]
     logits = jnp.dot(x, layer["router"].astype(dtype),
                      preferred_element_type=jnp.float32)       # (B,T,E)
@@ -170,6 +182,62 @@ def _moe_ffn(layer, x, dtype, top_k: int):
                    preferred_element_type=jnp.float32)          # (B,T,E,D)
     return jnp.einsum("bted,bte->btd", y.astype(dtype), w,
                       preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _moe_ffn_capacity(layer, x, dtype, top_k: int,
+                      capacity_factor: float) -> jax.Array:
+    """Sort-based capacity dispatch (see _moe_ffn docstring).
+
+    Static shapes throughout: N*k routed pairs sort by expert id, each
+    pair gets a rank within its expert's group, pairs with rank >= C
+    scatter to a dummy slot.  Expert FFNs run as batched (E, C, .)
+    einsums on the MXU; outputs gather back to token order and combine
+    with the routing weights.
+    """
+    B, T, D = x.shape
+    E = layer["we_gate"].shape[0]
+    N = B * T
+    C = max(1, int(-(-N * top_k * capacity_factor // E)))
+    C = min(C, N)  # no expert can receive more than every token
+
+    xf = x.reshape(N, D)
+    logits = jnp.dot(xf, layer["router"].astype(dtype),
+                     preferred_element_type=jnp.float32)      # (N, E)
+    topv, tope = jax.lax.top_k(logits, top_k)                 # (N, k)
+    w = jax.nn.softmax(topv, axis=-1).astype(jnp.float32)     # renormalized
+
+    flat_e = tope.reshape(N * top_k)                          # expert ids
+    flat_w = w.reshape(N * top_k)
+    flat_tok = jnp.repeat(jnp.arange(N), top_k)
+
+    order = jnp.argsort(flat_e, stable=True)                  # group by expert
+    e_sorted = flat_e[order]
+    tok_sorted = flat_tok[order]
+    w_sorted = flat_w[order]
+    # rank within the expert group = index - first index of that expert
+    first = jnp.searchsorted(e_sorted, e_sorted, side="left")
+    rank = jnp.arange(N * top_k) - first
+    slot = jnp.where(rank < C, e_sorted * C + rank, E * C)    # overflow slot
+
+    # per-expert buffers (+1 dummy row for overflow)
+    buf = jnp.zeros((E * C + 1, D), dtype).at[slot].set(
+        xf[tok_sorted].astype(dtype))
+    xe = buf[: E * C].reshape(E, C, D)
+
+    g = jnp.einsum("ecd,edm->ecm", xe, layer["we_gate"].astype(dtype),
+                   preferred_element_type=jnp.float32)
+    u = jnp.einsum("ecd,edm->ecm", xe, layer["we_up"].astype(dtype),
+                   preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(dtype)
+    ye = jnp.einsum("ecm,emd->ecd", h, layer["we_down"].astype(dtype),
+                    preferred_element_type=jnp.float32)       # (E, C, D)
+
+    ye_flat = jnp.concatenate(
+        [ye.reshape(E * C, D), jnp.zeros((1, D), ye.dtype)], axis=0)
+    contrib = ye_flat[slot] * w_sorted[:, None]               # (N*k, D)
+    out = jnp.zeros((N, D), jnp.float32).at[tok_sorted].add(
+        contrib.astype(jnp.float32))
+    return out.reshape(B, T, D).astype(dtype)
 
 
 def embed_tokens(params: Dict, ids: jax.Array, img_embeds: jax.Array | None,
@@ -278,8 +346,15 @@ def prefill(params: Dict, cfg: VLMConfig, ids: jax.Array,
 def prefill_contig(params: Dict, cfg: VLMConfig, ids: jax.Array,
                    img_embeds: jax.Array | None, t_max: int,
                    pad_id: int, img_token_id: int,
-                   kv_dtype=None) -> Tuple[jax.Array, ContigCache]:
+                   kv_dtype=None, seq_mesh=None) -> Tuple[jax.Array, ContigCache]:
     """Prefill into a contiguous cache.  ids: (B, T) LEFT-padded.
+
+    seq_mesh: optional Mesh with a ``seq`` axis — prefill attention runs
+    as ring attention with the sequence sharded over it (sequence
+    parallelism for multi-chip prompts, SURVEY.md section 2.3 item 5;
+    round-1 had this only in the training forward).  T must divide by
+    the axis size (the engine's prompt buckets are 128-multiples).
+    Token-identical to the single-chip path.
 
     Returns (logits at the last column (B, vocab), cache with pos=T).
     """
@@ -299,10 +374,11 @@ def prefill_contig(params: Dict, cfg: VLMConfig, ids: jax.Array,
     # the O(T^2) HBM savings bite.
     import os
 
-    use_flash = (os.environ.get("MSC_FLASH_ATTENTION") == "1"
+    use_flash = (seq_mesh is None
+                 and os.environ.get("MSC_FLASH_ATTENTION") == "1"
                  and T >= 256 and T % 128 == 0
                  and jax.default_backend() != "cpu")
-    if not use_flash:
+    if not use_flash and seq_mesh is None:
         mask = (jnp.tril(jnp.ones((T, T), bool))[None]
                 & valid_prompt[:, None, :])
 
@@ -325,7 +401,12 @@ def prefill_contig(params: Dict, cfg: VLMConfig, ids: jax.Array,
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         k_cache = k_cache.at[li, :, :T].set(k.astype(kv_dtype))
         v_cache = v_cache.at[li, :, :T].set(v.astype(kv_dtype))
-        if use_flash:
+        if seq_mesh is not None:
+            from msc_tpu.parallel.ring_attention import ring_attention
+
+            o = ring_attention(q, k, v, valid_prompt, seq_mesh, axis="seq")
+            o = o.reshape(B, T, cfg.n_heads * cfg.head_dim).astype(dtype)
+        elif use_flash:
             from msc_tpu.ops.attention import flash_prefill_attention
 
             o = flash_prefill_attention(q, k, v, valid_prompt)

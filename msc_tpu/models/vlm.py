@@ -38,11 +38,17 @@ class GenerateResult(NamedTuple):
 
 
 class VLM:
-    """Convenience wrapper owning jitted prefill/decode/generate closures."""
+    """Convenience wrapper owning jitted prefill/decode/generate closures.
 
-    def __init__(self, cfg: VLMConfig, params: Dict):
+    seq_mesh: optional Mesh with a ``seq`` axis — contiguous-path prefill
+    attention runs as ring attention with the sequence sharded over it
+    (serving-side sequence parallelism; token-identical to single-chip).
+    """
+
+    def __init__(self, cfg: VLMConfig, params: Dict, seq_mesh=None):
         self.cfg = cfg
         self.params = params
+        self.seq_mesh = seq_mesh
         self._encode = jax.jit(
             lambda p, imgs: vit_mod.vit_encode(p, imgs, cfg))
         # fused uint8 -> resize/normalize -> ViT in ONE dispatch (each
@@ -69,7 +75,8 @@ class VLM:
             donate_argnames=("cache",),
         )
         self._generate_contig_fn = jax.jit(
-            functools.partial(_generate_contig_impl, cfg),
+            functools.partial(_generate_contig_impl, cfg,
+                              seq_mesh=seq_mesh),
             static_argnames=("t_max", "max_new_tokens", "use_fsm",
                              "length_bias"),
         )
@@ -141,13 +148,13 @@ def _generate_contig_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
                           fsm_trans, fsm_accept, fsm_dist,
                           *, t_max: int, max_new_tokens: int,
                           use_fsm: bool,
-                          length_bias: float) -> GenerateResult:
+                          length_bias: float, seq_mesh=None) -> GenerateResult:
     dparams = params["dec"]
     B = ids.shape[0]
     fsm = FSM(fsm_trans, fsm_accept, fsm_dist) if use_fsm else None
 
     logits, cache = dec.prefill_contig(dparams, cfg, ids, img_embeds, t_max,
-                                       PAD_ID, IMG_ID)
+                                       PAD_ID, IMG_ID, seq_mesh=seq_mesh)
 
     out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
     fsm_state = jnp.zeros((B,), jnp.int32)

@@ -120,6 +120,17 @@ def shard_params(params: Dict, mesh: Mesh) -> Dict:
     return jax.tree.map(jax.device_put, params, sh)
 
 
+def make_seq_mesh(seq: int, data: int = 1,
+                  devices: Optional[list] = None) -> Mesh:
+    """(data, seq) mesh for sequence-parallel prefill (ring attention in
+    serving, `msc_tpu/models/decoder.py::prefill_contig`)."""
+    devices = devices if devices is not None else jax.devices()
+    assert data * seq == len(devices), \
+        f"mesh {data}x{seq} != {len(devices)} devices"
+    arr = np.asarray(devices).reshape(data, seq)
+    return Mesh(arr, ("data", "seq"))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-leading sharding for inputs."""
     return NamedSharding(mesh, P("data"))

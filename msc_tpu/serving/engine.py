@@ -68,7 +68,7 @@ class InferenceEngine:
     def __init__(self, cfg: VLMConfig, params: Optional[dict] = None,
                  seed: int = 0, num_pages: int = 2048,
                  max_pages_per_seq: int = 24, json_length_bias: float = 3.0,
-                 kv_layout: str = "contiguous", mesh=None):
+                 kv_layout: str = "contiguous", mesh=None, seq_mesh=None):
         """kv_layout: "contiguous" (fast path: left-padded batches,
         in-place uniform-position writes) or "paged" (block-table pool —
         the ragged continuous-batching layout; slower until the Pallas
@@ -99,7 +99,9 @@ class InferenceEngine:
             from msc_tpu.parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
-        self.vlm = VLM(cfg, params)
+        # seq_mesh: serving-side sequence parallelism — contiguous prefill
+        # attention rides ring attention over the mesh's ``seq`` axis
+        self.vlm = VLM(cfg, params, seq_mesh=seq_mesh)
         self.allocator = PageAllocator(num_pages)
         self.max_pages_per_seq = max_pages_per_seq
         self._rng = jax.random.PRNGKey(seed + 1)

@@ -123,9 +123,13 @@ def test_mock_mqa_generation(mock_loader):
     df = mqa.generate_mock_mqa(mock_loader, num_scenes=1, samples_per_scene=1)
     assert {"sample_token", "question", "answer", "question_type"} <= set(df.columns)
     assert len(df) > 3
-    # Count/existence answers carry target tags; distance answers carry dst.
+    # Count/existence answers carry target tags; distance/location/camera
+    # answers carry their own tag families (round-2 taxonomy extension).
+    tagged = df["question_type"].isin(["distance", "location", "camera"])
+    assert df.loc[~tagged, "answer"].str.contains("<target><cnt>").all()
+    assert df.loc[df.question_type == "location", "answer"].str.contains("<loc>").all()
+    assert df.loc[df.question_type == "camera", "answer"].str.contains("<cam>").all()
     is_dist = df["question_type"] == "distance"
-    assert df.loc[~is_dist, "answer"].str.contains("<target><cnt>").all()
     assert is_dist.any()
     assert df.loc[is_dist, "answer"].str.contains("<dst>").all()
 
@@ -137,3 +141,30 @@ def test_mqa_cam_sextants():
     assert mqa._cam_of([5.0, -5.0, 0.0]) == "front right"
     assert mqa._cam_of([-5.0, 5.0, 0.0]) == "back left"
     assert mqa._cam_of([-5.0, -5.0, 0.0]) == "back right"
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """Native libjpeg decode (threaded batch + DCT scaling) must be
+    pixel-identical to PIL at full scale (SURVEY.md section 2.2 row 1)."""
+    import numpy as np
+    from PIL import Image
+
+    from msc_tpu.data.image_io import (
+        decode_jpeg, decode_jpeg_batch, native_jpeg_available,
+    )
+
+    yy, xx = np.mgrid[0:180, 0:320]
+    img = np.stack([(yy * 2) % 255, (xx) % 255, ((xx + yy)) % 255],
+                   -1).astype(np.uint8)
+    p = str(tmp_path / "frame.jpg")
+    Image.fromarray(img).save(p, quality=90)
+
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    got = decode_jpeg(p)
+    assert got.shape == ref.shape
+    if native_jpeg_available():
+        assert np.array_equal(got, ref)
+    outs = decode_jpeg_batch([p, p, p])
+    assert len(outs) == 3 and all(o.shape == ref.shape for o in outs)
+    half = decode_jpeg(p, scale_denom=2)
+    assert half.shape == (90, 160, 3)

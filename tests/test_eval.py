@@ -104,15 +104,19 @@ def test_runner_row_schema(run_results):
 
 
 def test_ablation_information_ordering(run_results):
-    """Annotation-bearing configs must beat camera-only on mock scenes
-    (cameras carry no object info in the synthetic data)."""
+    """Information ordering across modality ablations.  Since round 2 the
+    mock cameras carry REAL scene content (annotations render as category
+    boxes; the analytic camera backend detects them from pixels), so
+    camera configs are no longer degenerate — annotation-bearing configs
+    must still be at least as accurate as pixel-detection ones."""
     runner, df, _ = run_results
     acc = {name: runner.evaluator.compute_metrics(sub).overall_accuracy
            for name, sub in df.groupby("config_name")}
     assert acc["full"] >= 0.8, acc
     assert acc["cams_annotations"] >= 0.8, acc
-    assert acc["full"] > acc["all_cams"], acc
-    assert acc["lidar_only"] > acc["all_cams"] - 1e-9, acc
+    assert acc["all_cams"] >= 0.5, acc   # pixel path is informative now
+    assert acc["full"] >= acc["all_cams"] - 1e-9, acc
+    assert acc["lidar_only"] >= 0.5, acc
 
 
 def test_runner_resume(run_results, small_loader, mqa_df):
@@ -183,3 +187,105 @@ def test_checkpoint_roundtrip(tmp_path):
         a = np.asarray(restored[key])
     np.testing.assert_allclose(a, np.asarray(params["dec"]["embed"]),
                                rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# round 2: <loc>/<cam> families + camera pixel detections
+# ---------------------------------------------------------------------------
+
+def test_loc_and_which_camera_answers():
+    """answer_mqa_from_caption handles the <loc> and which-camera
+    families from caption positions carrying coordinates (round-1
+    VERDICT item 7)."""
+    from msc_tpu.serving.analytic import answer_mqa_from_caption
+
+    caption = {"objects": [
+        {"category": "car", "position": "front, 12.3m, at (12.0, 2.5)"},
+        {"category": "car", "position": "back, 30.0m, at (-29.0, -7.0)"},
+        {"category": "adult pedestrian",
+         "position": "front left, 8.0m, at (6.0, 5.0)"},
+    ]}
+    loc = answer_mqa_from_caption("Where is the nearest <obj>car</obj>?",
+                                  caption)
+    assert "<loc>(12.0, 2.5)</loc>" in loc
+    cam = answer_mqa_from_caption(
+        "Which camera shows the nearest <obj>pedestrian</obj>?", caption)
+    assert "<cam>front left</cam>" in cam
+    dst = answer_mqa_from_caption("How far away is the nearest "
+                                  "<obj>car</obj>?", caption)
+    assert "<dst>12.3m</dst>" in dst
+
+
+def test_tag_content_accuracy_scoring():
+    """The evaluator's tag-content extension scores cam/dst/loc content
+    (with tolerance), not just <target> blocks."""
+    import pandas as pd
+
+    from msc_tpu.eval.evaluator import ComprehensiveMQAEvaluator
+
+    rows = [
+        # loc correct within 1.0
+        dict(q="Where is the nearest <obj>car</obj>?",
+             gt="It is at <loc>(12.0, 2.5)</loc>.",
+             pred="The nearest <obj>car</obj> is at <loc>(12.3, 2.1)</loc>."),
+        # loc wrong
+        dict(q="Where is the nearest <obj>bus</obj>?",
+             gt="It is at <loc>(5.0, 5.0)</loc>.",
+             pred="At <loc>(25.0, -5.0)</loc>."),
+        # cam correct via synonym normalization
+        dict(q="Which camera shows the <obj>car</obj>?",
+             gt="<cam>front left</cam>",
+             pred="It appears in the <cam>FRONT_LEFT</cam> camera."),
+        # dst within 10%
+        dict(q="How far is the <obj>car</obj>?",
+             gt="<dst>20.0m</dst>", pred="about <dst>21.5m</dst>"),
+    ]
+    df = pd.DataFrame({
+        "sample_token": ["t"] * len(rows),
+        "question": [r["q"] for r in rows],
+        "ground_truth_answer": [r["gt"] for r in rows],
+        "question_type": ["x"] * len(rows),
+        "predicted_answer": [r["pred"] for r in rows],
+    })
+    ev = ComprehensiveMQAEvaluator(mqa_df=df.rename(
+        columns={"ground_truth_answer": "answer"})[
+        ["sample_token", "question", "answer", "question_type"]])
+    m = ev.compute_metrics(df)
+    assert m.tag_content_accuracy["loc"] == 0.5
+    assert m.tag_content_accuracy["cam"] == 1.0
+    assert m.tag_content_accuracy["dst"] == 1.0
+
+
+def test_mock_mqa_has_loc_and_cam_questions():
+    from msc_tpu.data.mqa import generate_mock_mqa
+    from msc_tpu.data.nuscenes import MockNuScenesLoader
+
+    loader = MockNuScenesLoader(num_scenes=2, samples_per_scene=1)
+    df = generate_mock_mqa(loader, num_scenes=2)
+    assert (df.question_type == "location").sum() >= 1
+    assert (df.question_type == "camera").sum() >= 1
+    loc_gt = df[df.question_type == "location"].iloc[0]["answer"]
+    assert "<loc>(" in loc_gt
+
+
+def test_camera_pixel_detector_matches_ground_truth():
+    """The analytic camera path detects the mock-rendered category boxes
+    from pixels alone; per-sextant counts match annotation ground truth
+    (the camera modality is no longer boilerplate)."""
+    from collections import Counter
+
+    from msc_tpu.data.mqa import CHANNEL_TO_CAM, count_objects
+    from msc_tpu.data.nuscenes import MockNuScenesLoader
+    from msc_tpu.serving.analytic import _detect_mock_objects
+
+    loader = MockNuScenesLoader(num_scenes=2, samples_per_scene=1)
+    agree = total = 0
+    for i in range(2):
+        s = loader.get_sample_by_scene_index(i, 0)
+        for k, name in enumerate(s["camera_names"]):
+            gt = count_objects(s["annotations"], cam=CHANNEL_TO_CAM[name])
+            det = Counter(d["category"]
+                          for d in _detect_mock_objects(s["images"][k]))
+            total += 1
+            agree += (gt == dict(det))
+    assert agree / total >= 0.8  # occasional overlap-merge is tolerated

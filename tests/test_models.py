@@ -215,3 +215,45 @@ def test_bpe_chat_template_inherited():
     ids = tok.apply_chat_template(messages, num_image_tokens=4)
     assert ids.count(IMG_ID) == 4
     assert ids[0] == BOS_ID
+
+
+def test_moe_capacity_dispatch_matches_dense():
+    """With ample capacity the sort-based dispatch must equal the dense
+    O(E) formulation exactly (same top-k + renormalized softmax)."""
+    import numpy as np
+    from msc_tpu.models.decoder import _moe_ffn
+
+    rng = np.random.default_rng(0)
+    B, T, D, M, E = 2, 16, 32, 64, 4
+    layer = {
+        "router": jnp.asarray(rng.normal(size=(D, E)), jnp.float32),
+        "we_gate": jnp.asarray(rng.normal(size=(E, D, M)) * 0.1, jnp.float32),
+        "we_up": jnp.asarray(rng.normal(size=(E, D, M)) * 0.1, jnp.float32),
+        "we_down": jnp.asarray(rng.normal(size=(E, M, D)) * 0.1, jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    dense = _moe_ffn(layer, x, jnp.float32, top_k=2, dispatch="dense")
+    cap = _moe_ffn(layer, x, jnp.float32, top_k=2, dispatch="capacity",
+                   capacity_factor=float(E))  # C >= N: nothing drops
+    np.testing.assert_allclose(np.asarray(cap), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_moe_capacity_drops_overflow_gracefully():
+    """Tight capacity drops contributions but stays finite/shaped."""
+    import numpy as np
+    from msc_tpu.models.decoder import _moe_ffn
+
+    rng = np.random.default_rng(1)
+    B, T, D, M, E = 1, 32, 16, 32, 4
+    layer = {
+        "router": jnp.asarray(rng.normal(size=(D, E)), jnp.float32),
+        "we_gate": jnp.asarray(rng.normal(size=(E, D, M)) * 0.1, jnp.float32),
+        "we_up": jnp.asarray(rng.normal(size=(E, D, M)) * 0.1, jnp.float32),
+        "we_down": jnp.asarray(rng.normal(size=(E, M, D)) * 0.1, jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    out = _moe_ffn(layer, x, jnp.float32, top_k=2, dispatch="capacity",
+                   capacity_factor=0.5)
+    assert out.shape == (B, T, D)
+    assert np.isfinite(np.asarray(out)).all()

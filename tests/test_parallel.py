@@ -214,3 +214,44 @@ def test_pp_mesh_data_axis():
     ref = forward_logits(params, cfg, jnp.asarray(ids), None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_seq_parallel_prefill_token_identical():
+    """Serving prefill with ring attention over a ``seq`` axis must
+    produce the same greedy tokens as single-chip prefill (round-1
+    VERDICT item 5: SP was training-only)."""
+    import numpy as np
+
+    from msc_tpu.models.vlm import VLM, init_vlm_params
+    from msc_tpu.parallel.mesh import make_seq_mesh
+
+    params = init_vlm_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(0)
+    B, T, NEW = 2, 64, 12
+    ids = rng.integers(0, 200, size=(B, T)).astype(np.int32)
+    ids[0, :10] = PAD_ID  # left padding
+
+    base = VLM(TINY, params)
+    r0 = base.generate_contig(jnp.asarray(ids), None, jax.random.PRNGKey(1),
+                              t_max=T + NEW, max_new_tokens=NEW)
+    mesh = make_seq_mesh(seq=4, data=1, devices=jax.devices()[:4])
+    sp = VLM(TINY, params, seq_mesh=mesh)
+    r1 = sp.generate_contig(jnp.asarray(ids), None, jax.random.PRNGKey(1),
+                            t_max=T + NEW, max_new_tokens=NEW)
+    assert np.array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
+
+
+def test_seq_parallel_engine_serving():
+    """Engine end-to-end with a seq mesh: same completion text."""
+    from msc_tpu.serving.engine import InferenceEngine, Request
+    from msc_tpu.parallel.mesh import make_seq_mesh
+
+    req = Request(messages=[{"role": "user", "content": "hello world"}],
+                  max_new_tokens=8)
+    e0 = InferenceEngine(TINY, seed=0, num_pages=64, max_pages_per_seq=32)
+    out0 = e0.generate_batch([req])[0]
+    mesh = make_seq_mesh(seq=4, data=1, devices=jax.devices()[:4])
+    e1 = InferenceEngine(TINY, seed=0, num_pages=64, max_pages_per_seq=32,
+                         seq_mesh=mesh)
+    out1 = e1.generate_batch([req])[0]
+    assert out0 == out1

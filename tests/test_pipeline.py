@@ -93,7 +93,11 @@ def test_mqa_answer_counts(pipeline, full_result, mock_sample):
 
 def test_camera_only_ablation(pipeline, mock_sample):
     """Camera-only config must NOT leak annotation knowledge into the
-    caption (modality dropout information topology)."""
+    caption (modality dropout information topology).  Camera objects come
+    from PIXEL detections (the mock renderer draws annotations into the
+    frames) — the telltale of annotation leakage is the ego-frame
+    coordinate suffix "(x, y)", which only annotation/lidar markers
+    carry."""
     result = pipeline.process_scene(
         images=mock_sample["images"],
         camera_names=mock_sample["camera_names"],
@@ -105,7 +109,10 @@ def test_camera_only_ablation(pipeline, mock_sample):
     agents = [o["agent"] for o in
               result["pipeline_stages"]["layer1_content_transformation"]]
     assert agents == ["CameraAgent"]  # no cross-modal with 1 modality
-    assert result["structured_caption"]["objects"] == []
+    objs = result["structured_caption"]["objects"]
+    assert objs, "pixel detections should reach the caption"
+    assert all("(" not in o["position"] for o in objs), \
+        "coordinates in a camera-only caption imply annotation leakage"
 
 
 def test_camera_subset(pipeline, mock_sample):
