@@ -192,5 +192,5 @@ class RefinedFeaturesResponse(BaseModel):
     loop is not structurally capped to one sentence.
     """
     caption: str = Field(description="The refined caption text",
-                         json_schema_extra={"maxLength": 640})
+                         json_schema_extra={"maxLength": 1024})
     changes_made: List[str] = Field(description="List of key changes applied")

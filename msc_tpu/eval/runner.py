@@ -68,7 +68,8 @@ class ComprehensiveMQARunner:
     def run_complete_evaluation(self, test_mode: bool = False,
                                 num_test_scenes: int = 5,
                                 output_csv: Optional[str] = None,
-                                resume: bool = True) -> pd.DataFrame:
+                                resume: bool = True,
+                                scene_offset: int = 0) -> pd.DataFrame:
         tokens = self._index_sample_tokens()
         print(f"Found {len(tokens)} available sample tokens")
         questions_df = self.evaluator.mqa_data[
@@ -79,7 +80,10 @@ class ComprehensiveMQARunner:
             return pd.DataFrame()
 
         if test_mode:
-            keep = questions_df["sample_token"].unique()[:num_test_scenes]
+            # scene_offset selects a window into the sample list — e.g. to
+            # evaluate on scenes HELD OUT from a distillation run
+            uniq = questions_df["sample_token"].unique()
+            keep = uniq[scene_offset: scene_offset + num_test_scenes]
             questions_df = questions_df[
                 questions_df["sample_token"].isin(keep)]
             print(f"TEST MODE: {len(keep)} scenes, {len(questions_df)} questions")
@@ -231,6 +235,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--test-mode", action="store_true", default=None)
     ap.add_argument("--num-scenes", type=int, default=None)
+    ap.add_argument("--scene-offset", type=int, default=0,
+                    help="skip the first N scenes (held-out evaluation)")
+    ap.add_argument("--mock-scenes", type=int, default=None,
+                    help="total synthetic scenes to generate MQA for")
     ap.add_argument("--output-dir", default=None)
     args = ap.parse_args()
 
@@ -252,8 +260,11 @@ def main():
                                         mqa_csv_path=cfg.eval.mqa_csv_path)
     else:
         print("MQA csv not found -> generating synthetic MQA from loader")
-        mqa_df = generate_mock_mqa(loader,
-                                   num_scenes=cfg.eval.num_test_scenes)
+        n_mock = args.mock_scenes or (args.scene_offset
+                                      + cfg.eval.num_test_scenes)
+        if hasattr(loader, "num_scenes") and loader.num_scenes < n_mock:
+            loader.num_scenes = n_mock  # synthesize enough distinct scenes
+        mqa_df = generate_mock_mqa(loader, num_scenes=n_mock)
         runner = ComprehensiveMQARunner(pipeline, loader, mqa_df=mqa_df)
 
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -264,7 +275,8 @@ def main():
     df = runner.run_complete_evaluation(
         test_mode=cfg.eval.test_mode,
         num_test_scenes=cfg.eval.num_test_scenes,
-        output_csv=out_csv, resume=cfg.eval.resume)
+        output_csv=out_csv, resume=cfg.eval.resume,
+        scene_offset=args.scene_offset)
     print(f"Duration: {datetime.now() - t0}")
     runner.analyze_results(df)
     if hasattr(pipeline, "timer"):

@@ -519,15 +519,29 @@ class AnalyticBackend(Backend):
         objects = extract_markers(text)
         if objects:
             counts: Dict[str, int] = {}
+            by_dir: Dict[str, Dict[str, int]] = {}
             for o in objects:
                 c = str(o.get("category", "object"))
                 counts[c] = counts.get(c, 0) + 1
+                d = str(o.get("direction", "front")).replace("_", " ")
+                by_dir.setdefault(d, {})
+                by_dir[d][c] = by_dir[d].get(c, 0) + 1
             summary = ", ".join(f"{v} {k}{'s' if v != 1 else ''}"
                                 for k, v in sorted(counts.items()))
             caption = caption + f"\nIn total the scene contains {summary}."
+            # per-direction breakdown: the refined caption should let a
+            # reader answer per-camera count questions without re-deriving
+            # geometry (the reference's prose captions carry positional
+            # counts the same way)
+            dir_lines = "; ".join(
+                f"{d}: " + ", ".join(f"{v} {k}{'s' if v != 1 else ''}"
+                                     for k, v in sorted(cs.items()))
+                for d, cs in sorted(by_dir.items()))
+            caption = caption + f"\nBy view - {dir_lines}."
         return json.dumps({
             "caption": caption,
-            "changes_made": ["Added explicit per-category object counts."],
+            "changes_made": ["Added explicit per-category object counts.",
+                             "Added per-camera-view count breakdown."],
         })
 
     def _structure_caption(self, text: str) -> str:
