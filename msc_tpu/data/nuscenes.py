@@ -64,15 +64,19 @@ class NuScenesLoader:
 
     def __init__(self, dataroot: str, version: str = "v1.0-mini",
                  ego_frame: bool = False):
-        if not NUSCENES_AVAILABLE:
-            raise ImportError(
-                "nuscenes-devkit is required for NuScenesLoader; "
-                "use MockNuScenesLoader / create_loader(use_mock=True) instead."
-            )
         self.dataroot = Path(dataroot)
         self.version = version
         self.ego_frame = ego_frame
-        self.nusc = NuScenes(version=version, dataroot=str(dataroot), verbose=False)
+        if NUSCENES_AVAILABLE:
+            self.nusc = NuScenes(version=version, dataroot=str(dataroot),
+                                 verbose=False)
+        else:
+            # devkit-free table reader (same API subset) — real-data
+            # ingestion works, and is hermetically testable, without the
+            # nuscenes-devkit dependency stack
+            from msc_tpu.data.mini_nuscenes import MiniNuScenes
+
+            self.nusc = MiniNuScenes(version=version, dataroot=str(dataroot))
         self.camera_channels = list(CAMERA_CHANNELS)
 
     # -- scene index ------------------------------------------------------
@@ -463,7 +467,9 @@ class MockNuScenesLoader:
 def create_loader(dataroot: Optional[str] = None, version: str = "v1.0-mini",
                   use_mock: bool = False, ego_frame: bool = False):
     """Loader factory (parity with `src/nuscenes_loader.py:301-314`):
-    falls back to the mock when the devkit or dataroot is missing."""
-    if use_mock or not NUSCENES_AVAILABLE or dataroot is None:
+    falls back to the mock when the dataroot is missing.  A missing
+    devkit no longer forces the mock — the devkit-free MiniNuScenes
+    table reader serves real data (msc_tpu/data/mini_nuscenes.py)."""
+    if use_mock or dataroot is None or not Path(dataroot).exists():
         return MockNuScenesLoader(dataroot, version)
     return NuScenesLoader(dataroot, version, ego_frame=ego_frame)
