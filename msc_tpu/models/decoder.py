@@ -343,6 +343,99 @@ def prefill(params: Dict, cfg: VLMConfig, ids: jax.Array,
     return logits.astype(jnp.float32), new_cache
 
 
+def prefill_suffix(params: Dict, cfg: VLMConfig, ids: jax.Array,
+                   img_embeds: jax.Array | None, cache: KVCache,
+                   prefix_len: int, pad_id: int, img_token_id: int
+                   ) -> Tuple[jax.Array, KVCache]:
+    """Prefill only a SUFFIX against shared, already-filled prefix pages.
+
+    Prefix caching (ROADMAP round-1: repeated system prompts are ~40% of
+    prefill): every row's block table starts with the same read-only
+    prefix pages (tokens 0..prefix_len-1, prefill'd once by the engine
+    and never written here); ``ids`` holds just the per-request suffixes
+    (B, Ts) RIGHT-padded.  Suffix K/V land in each row's own pages;
+    attention runs suffix-queries x (prefix + causal suffix).
+
+    prefix_len must be a page multiple (the engine shares only whole
+    pages).  Returns (logits at each row's last valid position, cache
+    with lengths = prefix_len + suffix lengths).
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    B, Ts = ids.shape
+    pg = cfg.page_size
+    assert prefix_len % pg == 0 and Ts % pg == 0
+    n_pre = prefix_len // pg
+    n_suf = Ts // pg
+    valid_suffix = ids != pad_id
+    suf_lengths = valid_suffix.sum(axis=1).astype(jnp.int32)
+    positions = prefix_len + jnp.broadcast_to(
+        jnp.arange(Ts, dtype=jnp.int32)[None], (B, Ts))
+
+    x = embed_tokens(params, ids, img_embeds, img_token_id, dtype)
+
+    k_pages, v_pages = list(cache.k_pages), list(cache.v_pages)
+    bt = cache.block_tables
+    Tk = (n_pre + n_suf) * pg  # attended span: prefix + suffix pages
+    bt_att = jnp.maximum(bt[:, : n_pre + n_suf], 0)
+
+    # mask over the gathered span: prefix keys always attend; suffix keys
+    # attend causally where valid
+    key_idx = jnp.arange(Tk)
+    is_prefix = key_idx < prefix_len
+    causal = (key_idx[None, :] - prefix_len) <= jnp.arange(Ts)[:, None]
+    suf_valid_k = jnp.concatenate(
+        [jnp.ones((B, prefix_len), bool), valid_suffix], axis=1)
+    mask = (is_prefix[None, None, :]
+            | (causal[None] & suf_valid_k[:, None, :]))
+
+    KV, G, hd = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads, cfg.head_dim
+    own_pages = bt[:, n_pre: n_pre + n_suf]
+
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["ln1"])
+        q = jnp.dot(h, layer["wq"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        k = jnp.dot(h, layer["wk"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        v = jnp.dot(h, layer["wv"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        q = _rope(q.reshape(B, Ts, cfg.n_heads, hd), positions,
+                  cfg.rope_theta)
+        k = _rope(k.reshape(B, Ts, KV, hd), positions, cfg.rope_theta)
+        v = v.reshape(B, Ts, KV, hd)
+
+        k_resh = k.reshape(B, n_suf, pg, KV * hd)
+        v_resh = v.reshape(B, n_suf, pg, KV * hd)
+        k_pages[li] = k_pages[li].at[own_pages].set(
+            k_resh.astype(k_pages[li].dtype))
+        v_pages[li] = v_pages[li].at[own_pages].set(
+            v_resh.astype(v_pages[li].dtype))
+
+        ks = k_pages[li][bt_att].reshape(B, Tk, KV, hd).astype(dtype)
+        vs = v_pages[li][bt_att].reshape(B, Tk, KV, hd).astype(dtype)
+        qg = q.reshape(B, Ts, KV, G, hd)
+        att = jnp.einsum("btkgd,bskd->bkgts", qg, ks,
+                         preferred_element_type=jnp.float32) * hd ** -0.5
+        att = jnp.where(mask[:, None, None], att, -1e30)
+        att = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("bkgts,bskd->btkgd", att.astype(dtype), vs,
+                       preferred_element_type=jnp.float32)
+        o = o.reshape(B, Ts, cfg.n_heads * hd).astype(dtype)
+        x = x + jnp.dot(o, layer["wo"].astype(dtype),
+                        preferred_element_type=jnp.float32).astype(dtype)
+        x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
+                     cfg.moe_top_k)
+
+    x = _rmsnorm(x, params["ln_f"])
+    last = jnp.clip(suf_lengths - 1, 0, Ts - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = jnp.dot(x_last, params["embed"].T.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    new_cache = KVCache(tuple(k_pages), tuple(v_pages), bt,
+                        prefix_len + suf_lengths)
+    return logits.astype(jnp.float32), new_cache
+
+
 def prefill_contig(params: Dict, cfg: VLMConfig, ids: jax.Array,
                    img_embeds: jax.Array | None, t_max: int,
                    pad_id: int, img_token_id: int,

@@ -80,6 +80,18 @@ class VLM:
             static_argnames=("t_max", "max_new_tokens", "use_fsm",
                              "length_bias"),
         )
+        self._generate_prefix_fn = jax.jit(
+            functools.partial(_generate_prefix_impl, cfg,
+                              use_pallas=self.use_pallas_paged),
+            static_argnames=("prefix_len", "max_new_tokens", "use_fsm",
+                             "length_bias"),
+            donate_argnames=("cache",),
+        )
+        self._prefill_fn = jax.jit(
+            functools.partial(dec.prefill, cfg=cfg, pad_id=PAD_ID,
+                              img_token_id=IMG_ID),
+            donate_argnames=("cache",),
+        )
 
     def encode_images(self, images: jax.Array) -> jax.Array:
         """(N, S, S, 3) float -> (N, tokens_per_image, vit_width)."""
@@ -131,6 +143,36 @@ class VLM:
             self.params, ids, img_embeds, rng, temps,
             fsm_trans, fsm_accept, fsm_dist,
             t_max=t_max, max_new_tokens=max_new_tokens,
+            use_fsm=use_fsm, length_bias=length_bias)
+
+
+    def prefill_pages(self, ids: jax.Array, cache: dec.KVCache
+                      ) -> dec.KVCache:
+        """Prefill a (usually 1-row) prompt into paged cache pages —
+        used by the engine to materialize a shared PREFIX once; the
+        resulting pages are then referenced read-only by every request's
+        block table (prefix caching)."""
+        _logits, cache = self._prefill_fn(self.params["dec"], ids=ids,
+                                          img_embeds=None, cache=cache)
+        return cache
+
+    def generate_prefix(self, ids_suffix: jax.Array, cache: dec.KVCache,
+                        rng: jax.Array, prefix_len: int,
+                        max_new_tokens: int = 128, temperature=0.0,
+                        use_fsm: bool = False, fsm_trans=None,
+                        fsm_accept=None, fsm_dist=None,
+                        length_bias: float = 0.0):
+        """Suffix-only prefill over shared prefix pages + paged decode.
+
+        ids_suffix: (B, Ts) RIGHT-padded suffixes; block tables must lead
+        with the shared prefix pages (prefix_len a page multiple).  The
+        cache is DONATED.
+        """
+        temps = _as_temps(temperature, ids_suffix.shape[0])
+        return self._generate_prefix_fn(
+            self.params, ids_suffix, cache, rng, temps,
+            fsm_trans, fsm_accept, fsm_dist,
+            prefix_len=prefix_len, max_new_tokens=max_new_tokens,
             use_fsm=use_fsm, length_bias=length_bias)
 
 
@@ -217,6 +259,50 @@ def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
         out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))
         # advance: feed sampled token (EOS rows keep stepping PAD but
         # are masked out of the output; cheaper than compaction)
+        step_tok = jnp.where(now_done, jnp.int32(PAD_ID), tok)
+        logits, cache = dec.decode_step(dparams, cfg, step_tok, cache,
+                                        use_pallas=use_pallas)
+        return i + 1, logits, cache, out, now_done, fsm_state, rng
+
+    i, logits, cache, out, done, fsm_state, rng = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), logits, cache, out, done, fsm_state, rng))
+
+    lengths = (out != PAD_ID).sum(axis=1).astype(jnp.int32)
+    return GenerateResult(out, lengths), cache
+
+
+def _generate_prefix_impl(cfg: VLMConfig, params: Dict, ids_suffix: jax.Array,
+                          cache: dec.KVCache, rng: jax.Array,
+                          temperature: jax.Array,
+                          fsm_trans, fsm_accept, fsm_dist,
+                          *, prefix_len: int, max_new_tokens: int,
+                          use_fsm: bool, length_bias: float,
+                          use_pallas: bool = False):
+    """Suffix prefill over shared prefix pages + paged decode loop."""
+    dparams = params["dec"]
+    B = ids_suffix.shape[0]
+    fsm = FSM(fsm_trans, fsm_accept, fsm_dist) if use_fsm else None
+
+    logits, cache = dec.prefill_suffix(dparams, cfg, ids_suffix, None,
+                                       cache, prefix_len, PAD_ID, IMG_ID)
+
+    out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
+    fsm_state = jnp.zeros((B,), jnp.int32)
+    done = jnp.zeros((B,), bool)
+
+    def cond(state):
+        i, _, _, _, done, _, _ = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, logits, cache, out, done, fsm_state, rng = state
+        rng, sub = jax.random.split(rng)
+        tok, fsm_state = sample_token(
+            logits, temperature, sub, fsm, fsm_state, EOS_ID,
+            length_bias=length_bias)
+        tok = jnp.where(done, PAD_ID, tok)
+        now_done = done | (tok == EOS_ID)
+        out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))
         step_tok = jnp.where(now_done, jnp.int32(PAD_ID), tok)
         logits, cache = dec.decode_step(dparams, cfg, step_tok, cache,
                                         use_pallas=use_pallas)

@@ -68,7 +68,9 @@ class InferenceEngine:
     def __init__(self, cfg: VLMConfig, params: Optional[dict] = None,
                  seed: int = 0, num_pages: int = 2048,
                  max_pages_per_seq: int = 24, json_length_bias: float = 3.0,
-                 kv_layout: str = "contiguous", mesh=None, seq_mesh=None):
+                 kv_layout: str = "contiguous", mesh=None, seq_mesh=None,
+                 prefix_caching: bool = True,
+                 prefix_cache_pages: int = 512):
         """kv_layout: "contiguous" (fast path: left-padded batches,
         in-place uniform-position writes) or "paged" (block-table pool —
         the ragged continuous-batching layout; slower until the Pallas
@@ -113,6 +115,15 @@ class InferenceEngine:
             max_pages_per_seq=max_pages_per_seq, dtype=dtype)
         self._k_pages = self._cache_template.k_pages
         self._v_pages = self._cache_template.v_pages
+        # prefix caching: shared page-aligned prompt prefixes (system
+        # prompts, per-scene caption heads) prefill ONCE into read-only
+        # pages that every matching request's block table references —
+        # ROADMAP round-1 estimated repeated system prompts at ~40% of
+        # prefill work.  LRU-evicted when the page budget fills.
+        self.prefix_caching = prefix_caching
+        self._prefix_budget = prefix_cache_pages
+        self._prefix_cache: Dict[tuple, List[int]] = {}  # tokens -> pages
+        self._prefix_lru: List[tuple] = []
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -190,7 +201,12 @@ class InferenceEngine:
             [float(r.temperature) for r in requests] + [0.0] * (B - B_real),
             jnp.float32)
 
-        if self.kv_layout == "contiguous":
+        prefix = self._match_prefix(tok_lists[:B_real], img_embeds)
+        if prefix is not None:
+            result = self._generate_with_prefix(
+                prefix, tok_lists, B, max_new, sub, temps,
+                use_fsm, fsm_trans, fsm_accept, fsm_dist, bias)
+        elif self.kv_layout == "contiguous":
             ids = self.tokenizer.pad_batch(tok_lists, pad_to=T, left=True)
             ids = ids[:, -T:]
             result = self.vlm.generate_contig(
@@ -243,6 +259,110 @@ class InferenceEngine:
             # release on every path: a compile/shape error must not leak
             # pages ("KV page pool exhausted" after a few failures)
             for pl in page_lists:
+                self.allocator.release(pl)
+
+    # -- prefix caching ---------------------------------------------------
+    def _match_prefix(self, tok_lists, img_embeds) -> Optional[tuple]:
+        """Find (or create) a cached page-aligned common prefix for this
+        batch.  Returns the prefix token tuple, or None when the prefix
+        path doesn't apply (images in the prefix, too short, disabled)."""
+        from msc_tpu.models.tokenizer import IMG_ID
+
+        if not self.prefix_caching or img_embeds is not None:
+            return None
+        pg = self.cfg.page_size
+        lcp = tok_lists[0]
+        for t in tok_lists[1:]:
+            n = min(len(lcp), len(t))
+            i = 0
+            while i < n and lcp[i] == t[i]:
+                i += 1
+            lcp = lcp[:i]
+        # suffix must be NON-EMPTY for every row (the suffix prefill needs
+        # at least one real token per row): never share a whole prompt
+        max_share = min(len(t) - 1 for t in tok_lists)
+        P = (min(len(lcp), max_share) // pg) * pg
+        while P >= 2 * pg:
+            cand = tuple(lcp[:P])
+            if IMG_ID in cand:
+                P -= pg
+                continue
+            if cand in self._prefix_cache:
+                self._touch_prefix(cand)
+                return cand
+            if len(tok_lists) >= 2:
+                if self._create_prefix(cand):
+                    return cand
+            return None
+        return None
+
+    def _touch_prefix(self, key: tuple):
+        self._prefix_lru.remove(key)
+        self._prefix_lru.append(key)
+
+    def _create_prefix(self, key: tuple) -> bool:
+        """Prefill the prefix once into dedicated pages (read-only from
+        then on).  Evicts least-recently-used prefixes past the budget."""
+        pg = self.cfg.page_size
+        n_pages = len(key) // pg
+        if n_pages > self._prefix_budget:
+            return False  # one entry may not swallow the whole budget
+        while (sum(len(p) for p in self._prefix_cache.values()) + n_pages
+               > self._prefix_budget and self._prefix_lru):
+            old = self._prefix_lru.pop(0)
+            self.allocator.release(self._prefix_cache.pop(old))
+        try:
+            pages = self.allocator.alloc(n_pages)
+        except RuntimeError:
+            return False
+        ids = np.asarray(key, np.int32)[None, :]
+        bt = np.asarray(pages, np.int32)[None, :]
+        cache = dec.KVCache(
+            k_pages=self._k_pages, v_pages=self._v_pages,
+            block_tables=jnp.asarray(bt),
+            lengths=jnp.zeros((1,), jnp.int32))
+        cache = self.vlm.prefill_pages(jnp.asarray(ids), cache)
+        self._k_pages = cache.k_pages
+        self._v_pages = cache.v_pages
+        self._prefix_cache[key] = pages
+        self._prefix_lru.append(key)
+        return True
+
+    def _generate_with_prefix(self, prefix, tok_lists, B, max_new, rng,
+                              temps, use_fsm, fsm_trans, fsm_accept,
+                              fsm_dist, bias):
+        """Suffix-only prefill over the shared prefix pages + paged decode
+        (the Pallas kernel handles the per-row ragged lengths)."""
+        pg = self.cfg.page_size
+        P = len(prefix)
+        prefix_pages = self._prefix_cache[prefix]
+        suffixes = [t[P:] if len(t) > P else [PAD_ID] for t in tok_lists]
+        Ts = -(-max(len(s) for s in suffixes) // pg) * pg
+        ids = self.tokenizer.pad_batch(suffixes, pad_to=Ts)[:, :Ts]
+        n_suf = Ts // pg
+        n_dec = -(-max_new // pg) + 1
+        own: List[List[int]] = []
+        try:
+            for _ in range(B):
+                own.append(self.allocator.alloc(n_suf + n_dec))
+            bt = np.empty((B, len(prefix_pages) + n_suf + n_dec), np.int32)
+            for i, pl in enumerate(own):
+                bt[i, : len(prefix_pages)] = prefix_pages
+                bt[i, len(prefix_pages):] = pl
+            cache = dec.KVCache(
+                k_pages=self._k_pages, v_pages=self._v_pages,
+                block_tables=jnp.asarray(bt),
+                lengths=jnp.zeros((B,), jnp.int32))
+            result, cache = self.vlm.generate_prefix(
+                jnp.asarray(ids), cache, rng, prefix_len=P,
+                max_new_tokens=max_new, temperature=temps,
+                use_fsm=use_fsm, fsm_trans=fsm_trans,
+                fsm_accept=fsm_accept, fsm_dist=fsm_dist, length_bias=bias)
+            self._k_pages = cache.k_pages
+            self._v_pages = cache.v_pages
+            return result
+        finally:
+            for pl in own:
                 self.allocator.release(pl)
 
     def _get_fsm(self, schema):

@@ -387,3 +387,51 @@ def test_constrained_generation_bpe_valid_json():
     out = engine.generate_batch([req])[0]
     parsed = SampleStrict.model_validate_json(out)
     assert isinstance(parsed.count, int)
+
+
+def test_prefix_caching_token_identical():
+    """Batched calls sharing a long prompt prefix must produce the same
+    completions whether the prefix rides the shared-page cache or the
+    plain path (prefix caching, ROADMAP round-1 engineering item)."""
+    base = ("You are an expert driving-scene assistant. " * 12
+            + "Scene Information: lots of shared caption text here. " * 10)
+    questions = [f"Question {i}: how many cars?" for i in range(3)]
+    msgs = [[{"role": "system", "content": base},
+             {"role": "user", "content": q}] for q in questions]
+    reqs = [Request(messages=m, temperature=0.0, max_new_tokens=16)
+            for m in msgs]
+
+    plain = InferenceEngine(TINY, seed=0, num_pages=256,
+                            max_pages_per_seq=64, prefix_caching=False)
+    ref = plain.generate_batch(reqs)
+
+    eng = InferenceEngine(TINY, seed=0, num_pages=256, max_pages_per_seq=64,
+                          prefix_caching=True)
+    out1 = eng.generate_batch(reqs)
+    assert len(eng._prefix_cache) == 1  # prefix was created
+    assert out1 == ref
+    # second call reuses the cached prefix (no new entries, same outputs)
+    out2 = eng.generate_batch(reqs)
+    assert out2 == ref
+    assert len(eng._prefix_cache) == 1
+    # a single follow-up question over the same prefix also hits the cache
+    solo = eng.generate_batch([reqs[0]])
+    assert solo[0] == ref[0]
+    # own pages all released; only prefix pages remain allocated
+    held = sum(len(p) for p in eng._prefix_cache.values())
+    assert eng.allocator.used == held
+
+
+def test_prefix_cache_eviction_releases_pages():
+    eng = InferenceEngine(TINY, seed=0, num_pages=512, max_pages_per_seq=64,
+                          prefix_caching=True, prefix_cache_pages=64)
+    for j in range(4):
+        base = f"System prompt variant {j}. " * 30  # ~50 pages each
+        msgs = [[{"role": "system", "content": base},
+                 {"role": "user", "content": f"q{i}"}] for i in range(2)]
+        eng.generate_batch([Request(messages=m, max_new_tokens=8)
+                            for m in msgs])
+    held = sum(len(p) for p in eng._prefix_cache.values())
+    assert held <= 64
+    assert len(eng._prefix_cache) >= 1  # newest prefix survives (LRU)
+    assert eng.allocator.used == held
