@@ -238,8 +238,13 @@ def make_backend(model_config, vlm_params=None) -> Backend:
 
             mesh = make_mesh(mc.data, mc.model,
                              jax.devices()[: mc.data * mc.model])
+        # shortest-valid-completion bias keeps an UNTRAINED model's
+        # constrained decodes terse; trained weights (checkpoint loaded)
+        # should keep their natural distribution (sampling.sample_token)
+        trained = bool(getattr(model_config, "vlm_ckpt", ""))
         engine = InferenceEngine(vlm_cfg, params=vlm_params,
-                                 seed=model_config.seed, mesh=mesh)
+                                 seed=model_config.seed, mesh=mesh,
+                                 json_length_bias=0.0 if trained else 3.0)
         backend = VLMBackend(engine,
                              max_new_tokens=model_config.backend.max_new_tokens)
         if getattr(model_config.backend, "continuous_batching", True):
