@@ -279,9 +279,12 @@ class InferenceEngine:
                 i += 1
             lcp = lcp[:i]
         # suffix must be NON-EMPTY for every row (the suffix prefill needs
-        # at least one real token per row): never share a whole prompt
+        # at least one real token per row): never share a whole prompt.
+        # P rounds DOWN to a 2-page grid: prefix_len is a static arg of the
+        # jitted generate, so a coarse grid keeps the compiled set small
         max_share = min(len(t) - 1 for t in tok_lists)
-        P = (min(len(lcp), max_share) // pg) * pg
+        grid = 2 * pg
+        P = (min(len(lcp), max_share) // grid) * grid
         while P >= 2 * pg:
             cand = tuple(lcp[:P])
             if IMG_ID in cand:
@@ -295,6 +298,8 @@ class InferenceEngine:
                     return cand
             return None
         return None
+
+    _SUFFIX_BUCKETS = (128, 256, 512, 1024, 2048)
 
     def _touch_prefix(self, key: tuple):
         self._prefix_lru.remove(key)
@@ -337,7 +342,12 @@ class InferenceEngine:
         P = len(prefix)
         prefix_pages = self._prefix_cache[prefix]
         suffixes = [t[P:] if len(t) > P else [PAD_ID] for t in tok_lists]
-        Ts = -(-max(len(s) for s in suffixes) // pg) * pg
+        # suffix width buckets (static shape -> compiled-program budget)
+        need = -(-max(len(s) for s in suffixes) // pg) * pg
+        Ts = next((b for b in self._SUFFIX_BUCKETS if need <= b),
+                  self._SUFFIX_BUCKETS[-1])
+        if need > Ts:  # over-long suffixes: clip heads (prefix covers them)
+            suffixes = [s[-Ts:] for s in suffixes]
         ids = self.tokenizer.pad_batch(suffixes, pad_to=Ts)[:, :Ts]
         n_suf = Ts // pg
         n_dec = -(-max_new // pg) + 1
