@@ -56,9 +56,10 @@ def canonicalize_for_dfa(schema, text: str) -> str:
         if t == "string":
             s = "" if val is None else str(val)
             s = s.replace('"', "'").replace("\\", "/")
-            # keep the DFA's printable-ASCII alphabet
-            s = "".join(c for c in s if 32 <= ord(c) < 127)
-            return s[: int(node.get("maxLength", 48))]
+            # keep the DFA's printable-ASCII alphabet (whitespace controls
+            # become spaces so words don't glue together)
+            s = "".join(c if 32 <= ord(c) < 127 else " " for c in s)
+            return s[: int(node.get("maxLength", 48))].strip()
         if t == "integer":
             try:
                 v = int(val)
