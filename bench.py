@@ -45,6 +45,13 @@ def main():
     concurrency = int(os.environ.get("MSC_BENCH_CONCURRENCY", "1"))
     cfg = Config.from_env()
     cfg.model.backend.kind = BACKEND
+    # default to the committed distilled checkpoint: the headline metric is
+    # the PRODUCTION serving shape (trained weights emit EOS instead of
+    # exhausting decode budgets, and the caption content is real)
+    ckpt_default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "ckpt", "distill_r2")
+    if not cfg.model.vlm_ckpt and os.path.isdir(ckpt_default):
+        cfg.model.vlm_ckpt = ckpt_default
     # coalesce concurrent scenes' calls into batched device calls
     cfg.model.backend.continuous_batching = concurrency > 1
 

@@ -33,7 +33,8 @@ class FSM(NamedTuple):
 
 def sample_token(logits: jax.Array, temperature, rng: jax.Array,
                  fsm: Optional[FSM], fsm_state: Optional[jax.Array],
-                 eos_id: int, length_bias: float = 0.0):
+                 eos_id: int, length_bias: float = 0.0,
+                 remaining: Optional[jax.Array] = None):
     """Sample next tokens (B,) from logits (B, V), applying DFA masks.
 
     ``temperature`` is a (B,) array (or scalar) so heterogeneous batches
@@ -46,6 +47,18 @@ def sample_token(logits: jax.Array, temperature, rng: jax.Array,
     constrained decodes terse (essential for un/under-trained models;
     set 0 for a trained model's natural distribution).
 
+    ``remaining``: scalar int32 — decode steps left AFTER this one.  When
+    given with an FSM, tokens whose successor state cannot reach an
+    accepting state within ``remaining`` steps are masked out, so a
+    constrained decode ALWAYS yields complete JSON inside its budget
+    instead of truncating mid-document (``dist`` is a byte distance; with
+    byte-fallback BPE every single byte is a token, so a path of d bytes
+    is decodable in <= d token steps — the bound is conservative, never
+    wrong).  The mask can't go empty: along a shortest accepting path
+    dist decreases by 1 per byte, so inductively some token stays legal
+    as long as the engine's budget covers dist(start) (it enforces
+    ``max_new >= min_len + 32``).
+
     Returns (tokens, next_fsm_state).
     """
     if fsm is not None:
@@ -53,11 +66,15 @@ def sample_token(logits: jax.Array, temperature, rng: jax.Array,
         allowed = row >= 0
         allowed = allowed.at[:, eos_id].set(
             allowed[:, eos_id] | fsm.accept[fsm_state])
-        if length_bias > 0.0:
+        if length_bias > 0.0 or remaining is not None:
             nxt_dist = fsm.dist[jnp.maximum(row, 0)].astype(jnp.float32)
             # EOS from an accept state is distance 0
             nxt_dist = nxt_dist.at[:, eos_id].set(0.0)
-            logits = logits - length_bias * nxt_dist
+            if length_bias > 0.0:
+                logits = logits - length_bias * nxt_dist
+            if remaining is not None:
+                allowed = allowed & (nxt_dist
+                                     <= remaining.astype(jnp.float32))
         logits = jnp.where(allowed, logits, -jnp.inf)
 
     temps = jnp.asarray(temperature, jnp.float32)

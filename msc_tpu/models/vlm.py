@@ -211,7 +211,8 @@ def _generate_contig_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
         rng, sub = jax.random.split(rng)
         tok, fsm_state = sample_token(
             logits, temperature, sub, fsm, fsm_state, EOS_ID,
-            length_bias=length_bias)
+            length_bias=length_bias,
+            remaining=jnp.int32(max_new_tokens) - i - 1)
         tok = jnp.where(done, PAD_ID, tok)
         now_done = done | (tok == EOS_ID)
         out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))
@@ -253,7 +254,8 @@ def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
         rng, sub = jax.random.split(rng)
         tok, fsm_state = sample_token(
             logits, temperature, sub, fsm, fsm_state, EOS_ID,
-            length_bias=length_bias)
+            length_bias=length_bias,
+            remaining=jnp.int32(max_new_tokens) - i - 1)
         tok = jnp.where(done, PAD_ID, tok)
         now_done = done | (tok == EOS_ID)
         out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))
@@ -299,7 +301,8 @@ def _generate_prefix_impl(cfg: VLMConfig, params: Dict, ids_suffix: jax.Array,
         rng, sub = jax.random.split(rng)
         tok, fsm_state = sample_token(
             logits, temperature, sub, fsm, fsm_state, EOS_ID,
-            length_bias=length_bias)
+            length_bias=length_bias,
+            remaining=jnp.int32(max_new_tokens) - i - 1)
         tok = jnp.where(done, PAD_ID, tok)
         now_done = done | (tok == EOS_ID)
         out = out.at[:, i].set(jnp.where(now_done, PAD_ID, tok))

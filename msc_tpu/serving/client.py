@@ -150,9 +150,30 @@ class RecordingBackend(Backend):
     falls out as supervised data in the EXACT serving prompt format
     (round-1 VERDICT item 1: "all agent tasks, not just MQA")."""
 
-    def __init__(self, inner: Backend):
+    def __init__(self, inner: Backend, record_images: bool = False,
+                 image_size: int = 224):
+        """record_images: keep each call's images, downscaled to
+        ``image_size`` with the SAME resample the serving engine uses for
+        big host frames (cv2 INTER_AREA) — image-bearing pairs then train
+        the ViT path on exactly what serving feeds it."""
         self.inner = inner
+        self.record_images = record_images
+        self.image_size = image_size
         self.records: List[dict] = []
+
+    def _downscale(self, images):
+        import cv2
+
+        out = []
+        for im in images:
+            im = np.asarray(im)
+            if im.ndim == 2:
+                im = np.repeat(im[..., None], 3, axis=2)
+            s = self.image_size
+            if im.shape[:2] != (s, s):
+                im = cv2.resize(im, (s, s), interpolation=cv2.INTER_AREA)
+            out.append(im.astype(np.uint8))
+        return out
 
     def complete(self, messages, temperature, response_format=None,
                  task=None, images=(), max_new_tokens=None):
@@ -161,7 +182,9 @@ class RecordingBackend(Backend):
         self.records.append(dict(
             messages=messages, task=task, response=text,
             response_format=response_format, n_images=len(images),
-            temperature=temperature))
+            temperature=temperature,
+            images=(self._downscale(images)
+                    if self.record_images and len(images) else [])))
         return text
 
     def take(self) -> List[dict]:

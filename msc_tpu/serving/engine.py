@@ -63,6 +63,11 @@ class PageAllocator:
 
 _PROMPT_BUCKETS = (256, 512, 1024, 2048)
 
+# per-call engine telemetry (batch shape, decode lengths, wall ms)
+import os as _os
+
+_DEBUG = _os.environ.get("MSC_ENGINE_DEBUG") == "1"
+
 
 class InferenceEngine:
     def __init__(self, cfg: VLMConfig, params: Optional[dict] = None,
@@ -101,6 +106,13 @@ class InferenceEngine:
             from msc_tpu.parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
+        else:
+            # params MUST live on device: restored checkpoints arrive as
+            # host numpy arrays, and passing those to the jitted closures
+            # re-uploads the full parameter set every call (~70 MB/call
+            # through the tunnel — measured 5 s/call, a 70x bench
+            # regression the first time a trained checkpoint was served)
+            params = jax.device_put(params)
         # seq_mesh: serving-side sequence parallelism — contiguous prefill
         # attention rides ring attention over the mesh's ``seq`` axis
         self.vlm = VLM(cfg, params, seq_mesh=seq_mesh)
@@ -153,7 +165,10 @@ class InferenceEngine:
             return self._generate_batch_locked(requests, schema)
 
     def _generate_batch_locked(self, requests, schema):
+        if _DEBUG:
+            import time as _time
 
+            _t0 = _time.perf_counter()
         tok_lists = [self._tokenize(r) for r in requests]
         T = self._bucket(max(len(t) for t in tok_lists))
         T = -(-T // self.cfg.page_size) * self.cfg.page_size
@@ -222,6 +237,16 @@ class InferenceEngine:
         # ONE synchronous tunnel round trip for both outputs (each sync
         # fetch costs ~27 ms over the tunnel; a tuple device_get is one)
         out_tokens, lengths = jax.device_get((result.tokens, result.lengths))
+        if _DEBUG:
+            import sys as _sys
+            import time as _time
+
+            name = getattr(schema, "__name__", schema and "spec" or "text")
+            print(f"[engine] B={B_real}/{B} T={T} max_new={max_new} "
+                  f"schema={name} prefix={'y' if prefix else 'n'} "
+                  f"out_lens={[int(lengths[i]) for i in range(B_real)]} "
+                  f"wall={(_time.perf_counter() - _t0) * 1000:.0f}ms",
+                  file=_sys.stderr)
         return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
                 for i in range(B_real)]
 

@@ -88,14 +88,19 @@ def canonicalize_for_dfa(schema, text: str) -> str:
 def build_multitask_dataset(num_scenes: int, holdout: int = 8,
                             tasks: str = "all",
                             config_names: Tuple[str, ...] = ("full",),
-                            max_image_tokens: int = 0):
+                            include_images: bool = True,
+                            image_size: int = 224):
     """Record (serving prompt, analytic target) pairs for every agent task.
 
     Returns (train_pairs, eval_pairs, holdout_scene_indices); pairs are
-    (messages, target_text, gt_answer_or_None, task).  Image-bearing
-    calls are skipped unless ``max_image_tokens`` > 0 (mock camera frames
-    carry no learnable content; text tasks carry all the MQA-relevant
-    information via the OBJECTS_JSON/DETECTIONS_JSON observation markers).
+    (messages, target_text, gt_answer_or_None, task, images).  With
+    ``include_images`` the image-bearing calls (camera describe, cluster
+    classify, BEV interpretation) are kept, with their frames downscaled
+    to the ViT input size — the analytic camera teacher is pixel-grounded
+    (serving/analytic.py _camera), so these pairs supervise the vision
+    path on real mock-world content.  Without it they are skipped (text
+    tasks still carry the MQA-relevant information via the OBJECTS_JSON/
+    DETECTIONS_JSON markers).
     """
     from msc_tpu.config import ModalityConfig
     from msc_tpu.data.mqa import generate_mock_mqa
@@ -105,7 +110,9 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
     from msc_tpu.serving.analytic import AnalyticBackend
     from msc_tpu.serving.client import RecordingBackend
 
-    recorder = RecordingBackend(AnalyticBackend())
+    recorder = RecordingBackend(AnalyticBackend(),
+                                record_images=include_images,
+                                image_size=image_size)
     loader = MockNuScenesLoader(num_scenes=num_scenes, samples_per_scene=1)
     pipeline = SemanticCaptioningPipeline(backend=recorder, verbose=False)
     mqa = generate_mock_mqa(loader, num_scenes=num_scenes,
@@ -134,7 +141,7 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
                 pipeline.answer_mqa(row["question"], result)
                 gt_by_prompt[row["question"]] = row["answer"]
             for rec in recorder.take():
-                if rec["n_images"] > 0 and max_image_tokens <= 0:
+                if rec["n_images"] > 0 and not include_images:
                     continue
                 if tasks == "mqa" and rec["task"] != "mqa_answer":
                     continue
@@ -150,7 +157,7 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
                             gt = a
                             break
                 scene_pairs.append((rec["messages"], target, gt,
-                                    rec["task"]))
+                                    rec["task"], rec["images"]))
         pairs_by_scene.append(scene_pairs)
 
     train = [p for s in pairs_by_scene[:-holdout] for p in s]
@@ -162,29 +169,37 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
 def build_mqa_dataset(num_scenes: int, holdout: int = 4):
     """Back-compat wrapper: MQA-only pairs as (messages, answer, gt)."""
     train, evl, _ = build_multitask_dataset(num_scenes, holdout,
-                                            tasks="mqa")
-    strip = lambda ps: [(m, t, gt) for m, t, gt, _task in ps]
+                                            tasks="mqa",
+                                            include_images=False)
+    strip = lambda ps: [(p[0], p[1], p[2]) for p in ps]
     return strip(train), strip(evl)
 
 
-def tokenize_pairs(pairs, tokenizer, max_len: int):
+def tokenize_pairs(pairs, tokenizer, max_len: int,
+                   num_image_tokens: int = 0):
+    """(messages, target, ...) pairs -> (ids, loss_mask) arrays.
+
+    num_image_tokens: IMG placeholders per image part (pass
+    cfg.tokens_per_image for image-bearing pairs; serving uses the same
+    expansion, engine._tokenize)."""
     import numpy as np
 
-    from msc_tpu.models.tokenizer import EOS_ID, PAD_ID
+    from msc_tpu.models.tokenizer import EOS_ID, IMG_ID, PAD_ID
 
     ids = np.full((len(pairs), max_len), PAD_ID, np.int32)
     mask = np.zeros((len(pairs), max_len), bool)
     for i, pair in enumerate(pairs):
         messages, answer = pair[0], pair[1]
-        prompt = tokenizer.apply_chat_template(messages)
+        prompt = tokenizer.apply_chat_template(
+            messages, num_image_tokens=num_image_tokens)
         target = tokenizer.encode(answer) + [EOS_ID]
         # SAME truncation as the serving engine (train/serve alignment),
-        # then fit prompt+target into max_len
-        prompt = tokenizer.truncate_head_tail(prompt, 2048)
+        # then fit prompt+target into max_len (IMG runs are atomic)
+        prompt = tokenizer.truncate_head_tail(prompt, 2048, img_id=IMG_ID)
         # the full target (incl. EOS) must stay supervised — the prompt
         # yields; only a target that alone exceeds max_len gets clipped
         budget = max(1, max_len - len(target))
-        prompt = tokenizer.truncate_head_tail(prompt, budget)
+        prompt = tokenizer.truncate_head_tail(prompt, budget, img_id=IMG_ID)
         seq = (prompt + target)[:max_len]
         ids[i, : len(seq)] = seq
         mask[i, len(prompt): len(seq)] = True
@@ -271,24 +286,48 @@ def main():
 
     # length-bucketed batches: short tasks (MQA, suggest, caption) pack
     # densely; long tasks (merge, edit, scene-graph) train at a longer T
-    # with a smaller B so neither truncates the other's budget
+    # with a smaller B so neither truncates the other's budget.  Image
+    # tasks bucket by image COUNT (the train forward reshapes (B*V,...)
+    # with a uniform V per batch): camera describe carries 6 frames,
+    # cluster tiles / BEV carry 1.
+    tpi = cfg.tokens_per_image
+
     def total_len(p):
-        return (len(tokenizer.apply_chat_template(p[0]))
+        return (len(tokenizer.apply_chat_template(p[0],
+                                                  num_image_tokens=tpi))
                 + len(tokenizer.encode(p[1])) + 1)
 
-    lens = [total_len(p) for p in train_pairs]
-    short = [p for p, L in zip(train_pairs, lens) if L <= args.max_len]
-    long_ = [p for p, L in zip(train_pairs, lens) if L > args.max_len]
-    buckets = []
+    text_pairs = [p for p in train_pairs if not p[4]]
+    img_pairs = [p for p in train_pairs if p[4]]
+    lens = [total_len(p) for p in text_pairs]
+    short = [p for p, L in zip(text_pairs, lens) if L <= args.max_len]
+    long_ = [p for p, L in zip(text_pairs, lens) if L > args.max_len]
+    buckets = []  # (ids, mask, batch, images or None)
     if short:
         ids_s, mask_s = tokenize_pairs(short, tokenizer, args.max_len)
-        buckets.append((ids_s, mask_s, args.batch))
+        buckets.append((ids_s, mask_s, args.batch, None))
     if long_:
         ids_l, mask_l = tokenize_pairs(long_, tokenizer, args.max_len_long)
-        buckets.append((ids_l, mask_l, max(2, args.batch // 4)))
-    for ids_b, mask_b, bb in buckets:
+        buckets.append((ids_l, mask_l, max(2, args.batch // 4), None))
+    by_count: Dict[int, list] = {}
+    for p in img_pairs:
+        by_count.setdefault(len(p[4]), []).append(p)
+    for V, ps in sorted(by_count.items()):
+        T_img = args.max_len_long if V * tpi + 512 > args.max_len \
+            else args.max_len
+        # drop pairs whose prompt would truncate an IMG run (image k
+        # would silently land on the wrong embedding row)
+        keep = [p for p in ps if total_len(p) <= T_img]
+        if not keep:
+            continue
+        ids_i, mask_i = tokenize_pairs(keep, tokenizer, T_img,
+                                       num_image_tokens=tpi)
+        imgs = np.stack([np.stack(p[4]) for p in keep])  # (n,V,S,S,3) u8
+        buckets.append((ids_i, mask_i, max(2, args.batch // (2 * V)), imgs))
+    for ids_b, mask_b, bb, imgs_b in buckets:
+        v = 0 if imgs_b is None else imgs_b.shape[1]
         print(f"  bucket T={ids_b.shape[1]} n={len(ids_b)} batch={bb} "
-              f"mean len {(ids_b != 256).sum(1).mean():.0f}")
+              f"imgs/row={v} mean len {(ids_b != 256).sum(1).mean():.0f}")
 
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
     # warmup + cosine decay: the round-1 constant-lr run destabilized at
@@ -315,9 +354,16 @@ def main():
     t0 = time.time()
     loss = float("nan")
     for step in range(args.steps):
-        ids_b, mask_b, bb = buckets[rng.choice(len(buckets), p=weights)]
+        ids_b, mask_b, bb, imgs_b = buckets[rng.choice(len(buckets),
+                                                       p=weights)]
         idx = rng.integers(0, len(ids_b), size=bb)
-        state, loss = step_fn(state, jnp.asarray(ids_b[idx]), None,
+        imgs = None
+        if imgs_b is not None:
+            # (B, V, S, S, 3) u8 -> (B*V, S, S, 3) float in [-1, 1]
+            # (exactly ops.image.preprocess_images at the native size)
+            raw = imgs_b[idx].astype(np.float32) / 255.0 * 2.0 - 1.0
+            imgs = jnp.asarray(raw.reshape((-1,) + raw.shape[2:]))
+        state, loss = step_fn(state, jnp.asarray(ids_b[idx]), imgs,
                               jnp.asarray(mask_b[idx]))
         if step % max(1, args.steps // 20) == 0:
             print(f"step {step:6d}  loss {float(loss):.4f}  "

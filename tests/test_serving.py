@@ -435,3 +435,25 @@ def test_prefix_cache_eviction_releases_pages():
     assert held <= 64
     assert len(eng._prefix_cache) >= 1  # newest prefix survives (LRU)
     assert eng.allocator.used == held
+
+
+def test_budget_forcing_completes_json():
+    """With NO length bias (trained-model setting) an untrained tiny model
+    rambles inside the schema; the budget-aware FSM forcing must steer the
+    decode to an accepting state before max_new_tokens runs out, so the
+    output always parses (round-2 fix: scene-graph decodes were hitting
+    the budget mid-JSON and falling back)."""
+    from typing import List as _List
+
+    class Rambly(BaseModel):
+        summary: str
+        items: _List[str] = Field(default_factory=list)
+
+    engine = InferenceEngine(TINY, seed=0, num_pages=128,
+                             max_pages_per_seq=64, json_length_bias=0.0)
+    for schema in (Rambly, SampleStrict):
+        req = Request(messages=[{"role": "user", "content": "json please"}],
+                      schema=schema, max_new_tokens=64)
+        out = engine.generate_batch([req])[0]
+        parsed = schema.model_validate_json(out)  # must not raise
+        assert parsed is not None
