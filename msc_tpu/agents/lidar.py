@@ -108,6 +108,21 @@ class LiDARAgent(BaseAgent):
     # ------------------------------------------------------------------
     def process(self, point_cloud: np.ndarray,
                 context: Optional[Dict] = None) -> Dict[str, Any]:
+        import os
+        import sys
+        import time
+
+        _dbg = os.environ.get("MSC_ENGINE_DEBUG") == "1"
+        _t0 = time.perf_counter()
+
+        def _mark(label):
+            nonlocal _t0
+            if _dbg:
+                now = time.perf_counter()
+                print(f"[lidar] {label} {1000 * (now - _t0):.0f}ms",
+                      file=sys.stderr)
+                _t0 = now
+
         cfg = self.cfg
         pc_np, n = pad_point_cloud(point_cloud, cfg.max_points)
         pc = jnp.asarray(pc_np)
@@ -162,8 +177,10 @@ class LiDARAgent(BaseAgent):
             n_ground = int(small["n_ground"])
             n_object = int(small["n_object"])
 
+        _mark("front_end")
         # Step 3b: classification via batched vision calls.
         detected = self._classify_clusters(pc_np, clusters)
+        _mark("classify")
 
         # Step 5: semantic features.
         features = self._semantic_features(detected, n_ground, n_object)
@@ -174,6 +191,7 @@ class LiDARAgent(BaseAgent):
         # Step 7: model interpretation of report + BEV (device image; the
         # cv2 decorations are export-path cosmetics, not model input).
         observations = self._interpret(report, sem_bev, context)
+        _mark("interpret")
         observations = self._append_marker(observations, detected)
 
         return {

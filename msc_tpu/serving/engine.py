@@ -136,6 +136,10 @@ class InferenceEngine:
         self._prefix_budget = prefix_cache_pages
         self._prefix_cache: Dict[tuple, List[int]] = {}  # tokens -> pages
         self._prefix_lru: List[tuple] = []
+        # cumulative serving telemetry (bench reads these for tokens/sec
+        # + model-FLOPs utilization; see bench.py tail)
+        self.stats = {"calls": 0, "prefill_tokens": 0, "decode_tokens": 0,
+                      "image_tokens": 0}
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -237,6 +241,14 @@ class InferenceEngine:
         # ONE synchronous tunnel round trip for both outputs (each sync
         # fetch costs ~27 ms over the tunnel; a tuple device_get is one)
         out_tokens, lengths = jax.device_get((result.tokens, result.lengths))
+        self.stats["calls"] += 1
+        self.stats["prefill_tokens"] += sum(
+            len(t) for t in tok_lists[:B_real])
+        self.stats["decode_tokens"] += int(
+            sum(int(lengths[i]) for i in range(B_real)))
+        if img_embeds is not None:
+            self.stats["image_tokens"] += int(img_embeds.shape[0]
+                                              * img_embeds.shape[1])
         if _DEBUG:
             import sys as _sys
             import time as _time

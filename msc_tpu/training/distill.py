@@ -253,6 +253,9 @@ def main():
     ap.add_argument("--eval-n", type=int, default=60)
     ap.add_argument("--eval-every", type=int, default=0,
                     help="mid-training MQA evals (0 = only before/after)")
+    ap.add_argument("--save-every", type=int, default=2500,
+                    help="overwrite --save dir every N steps so a crashed "
+                         "run leaves a usable checkpoint (0 = final only)")
     args = ap.parse_args()
 
     from msc_tpu.utils.jax_setup import enable_compilation_cache
@@ -368,6 +371,12 @@ def main():
         if step % max(1, args.steps // 20) == 0:
             print(f"step {step:6d}  loss {float(loss):.4f}  "
                   f"({(time.time()-t0):.0f}s)", flush=True)
+        if (args.save and args.save_every and step
+                and step % args.save_every == 0):
+            from msc_tpu.utils.checkpoint import save_params
+
+            save_params(args.save, jax.device_get(state.params))
+            print(f"  checkpoint@{step} -> {args.save}", flush=True)
         if args.eval_every and step and step % args.eval_every == 0:
             e = InferenceEngine(cfg, params=jax.device_get(state.params),
                                 seed=0)

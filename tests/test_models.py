@@ -257,3 +257,38 @@ def test_moe_capacity_drops_overflow_gracefully():
                    capacity_factor=0.5)
     assert out.shape == (B, T, D)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_step_with_image_pairs():
+    """Image-bearing distillation pairs (camera describe etc.) train the
+    ViT path: a jitted step over (B, T) ids with (B*V, S, S, 3) images
+    runs and reduces loss on repeated batches (round-2: image tasks join
+    the self-distillation set)."""
+    import numpy as np
+
+    from msc_tpu.models.tokenizer import IMG_ID
+    from msc_tpu.training.train import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    B, V, T = 2, 2, 64
+    tpi = (TINY.image_size // TINY.patch_size) ** 2
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 255, size=(B, T)).astype(np.int32)
+    ids[:, 1: 1 + V * tpi] = IMG_ID  # V image placeholders per row
+    mask = np.zeros((B, T), bool)
+    mask[:, -16:] = True
+    imgs = rng.uniform(-1, 1, size=(B * V, TINY.image_size,
+                                    TINY.image_size, 3)).astype(np.float32)
+
+    params = init_vlm_params(jax.random.PRNGKey(1), TINY)
+    opt = make_optimizer(lr=3e-3)
+    state = init_train_state(params, opt)
+    step = make_train_step(TINY, opt)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, jnp.asarray(ids), jnp.asarray(imgs),
+                           jnp.asarray(mask))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9  # learns the fixed batch

@@ -124,6 +124,10 @@ def test_engine_free_text_batch():
     outs = engine.generate_batch(reqs)
     assert len(outs) == 3
     assert engine.allocator.used == 0  # pages released
+    # serving telemetry accumulates real-row token counts (bench MFU tail)
+    assert engine.stats["calls"] == 1
+    assert engine.stats["prefill_tokens"] > 0
+    assert engine.stats["decode_tokens"] > 0
 
 
 def test_engine_paged_layout_matches_contiguous():
