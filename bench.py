@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 WARMUP = int(os.environ.get("MSC_BENCH_WARMUP", "2"))
-TIMED = int(os.environ.get("MSC_BENCH_SCENES", "4"))
+TIMED = int(os.environ.get("MSC_BENCH_SCENES", "8"))
 BACKEND = os.environ.get("MSC_BENCH_BACKEND", "vlm")
 TARGET = 2.0  # scenes/sec/chip, BASELINE.json
 

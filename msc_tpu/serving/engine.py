@@ -140,6 +140,9 @@ class InferenceEngine:
         # + model-FLOPs utilization; see bench.py tail)
         self.stats = {"calls": 0, "prefill_tokens": 0, "decode_tokens": 0,
                       "image_tokens": 0}
+        import threading
+
+        self._stats_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -159,21 +162,57 @@ class InferenceEngine:
 
     def generate_batch(self, requests: List[Request]) -> List[str]:
         """Run a homogeneous batch (same schema) through one
-        prefill+decode program.  Returns decoded strings."""
+        prefill+decode program.  Returns decoded strings.
+
+        Lock discipline: host-side prompt building (tokenize, cv2 image
+        downscale) runs BEFORE the device lock and the blocking d2h fetch
+        of the result runs AFTER it — only device dispatch and engine
+        state mutation (page pools, prefix cache, rng) are serialized.
+        With parallel_l1 / continuous batching, one thread's ~27 ms
+        tunnel fetch no longer blocks another thread's dispatch."""
         if not requests:
             return []
         schema = requests[0].schema
         assert all(r.schema is schema for r in requests), \
             "generate_batch requires a homogeneous schema"
-        with DEVICE_LOCK:
-            return self._generate_batch_locked(requests, schema)
-
-    def _generate_batch_locked(self, requests, schema):
         if _DEBUG:
             import time as _time
 
             _t0 = _time.perf_counter()
         tok_lists = [self._tokenize(r) for r in requests]
+        host_images = self._prep_request_images(requests)
+        with DEVICE_LOCK:
+            result, meta = self._dispatch_locked(requests, schema,
+                                                 tok_lists, host_images)
+        B_real, B, T, max_new, had_prefix, img_embeds = meta
+        # ONE synchronous tunnel round trip for both outputs (each sync
+        # fetch costs ~27 ms over the tunnel; a tuple device_get is one)
+        out_tokens, lengths = jax.device_get((result.tokens, result.lengths))
+        with self._stats_lock:
+            self.stats["calls"] += 1
+            self.stats["prefill_tokens"] += sum(
+                len(t) for t in tok_lists[:B_real])
+            self.stats["decode_tokens"] += int(
+                sum(int(lengths[i]) for i in range(B_real)))
+            if img_embeds is not None:
+                self.stats["image_tokens"] += int(img_embeds.shape[0]
+                                                  * img_embeds.shape[1])
+        if _DEBUG:
+            import sys as _sys
+            import time as _time
+
+            name = getattr(schema, "__name__", schema and "spec" or "text")
+            print(f"[engine] B={B_real}/{B} T={T} max_new={max_new} "
+                  f"schema={name} prefix={'y' if had_prefix else 'n'} "
+                  f"out_lens={[int(lengths[i]) for i in range(B_real)]} "
+                  f"wall={(_time.perf_counter() - _t0) * 1000:.0f}ms",
+                  file=_sys.stderr)
+        return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
+                for i in range(B_real)]
+
+    def _dispatch_locked(self, requests, schema, tok_lists, host_images):
+        """Device-side half of generate_batch (called under DEVICE_LOCK).
+        Returns (device result, meta) without forcing a host transfer."""
         T = self._bucket(max(len(t) for t in tok_lists))
         T = -(-T // self.cfg.page_size) * self.cfg.page_size
         # bucket the batch dimension too (continuous batching coalesces
@@ -188,7 +227,7 @@ class InferenceEngine:
             B = B_real
         tok_lists = tok_lists + [[PAD_ID]] * (B - B_real)
 
-        img_embeds = self._encode_request_images(requests)
+        img_embeds = self._encode_request_images(requests, host_images)
         if img_embeds is not None and B > B_real:
             img_embeds = jnp.concatenate([
                 img_embeds,
@@ -238,29 +277,8 @@ class InferenceEngine:
                 tok_lists, T, B, max_new, img_embeds, sub, temps,
                 use_fsm, fsm_trans, fsm_accept, fsm_dist, bias)
 
-        # ONE synchronous tunnel round trip for both outputs (each sync
-        # fetch costs ~27 ms over the tunnel; a tuple device_get is one)
-        out_tokens, lengths = jax.device_get((result.tokens, result.lengths))
-        self.stats["calls"] += 1
-        self.stats["prefill_tokens"] += sum(
-            len(t) for t in tok_lists[:B_real])
-        self.stats["decode_tokens"] += int(
-            sum(int(lengths[i]) for i in range(B_real)))
-        if img_embeds is not None:
-            self.stats["image_tokens"] += int(img_embeds.shape[0]
-                                              * img_embeds.shape[1])
-        if _DEBUG:
-            import sys as _sys
-            import time as _time
-
-            name = getattr(schema, "__name__", schema and "spec" or "text")
-            print(f"[engine] B={B_real}/{B} T={T} max_new={max_new} "
-                  f"schema={name} prefix={'y' if prefix else 'n'} "
-                  f"out_lens={[int(lengths[i]) for i in range(B_real)]} "
-                  f"wall={(_time.perf_counter() - _t0) * 1000:.0f}ms",
-                  file=_sys.stderr)
-        return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
-                for i in range(B_real)]
+        return result, (B_real, B, T, max_new, prefix is not None,
+                        img_embeds)
 
     def _generate_paged(self, tok_lists, T, B, max_new, img_embeds, rng,
                         temperature, use_fsm, fsm_trans, fsm_accept,
@@ -436,33 +454,44 @@ class InferenceEngine:
             self._fsm_cache[key] = hit
         return hit
 
-    def _encode_request_images(self, requests: List[Request]):
+    def _prep_request_images(self, requests: List[Request]):
+        """Host-side image prep (grayscale->RGB, big-frame cv2 downscale)
+        — runs OUTSIDE the device lock so it overlaps other threads'
+        device time.  Returns the flat per-request image list, or None."""
+        n_img = max((len(r.images) for r in requests), default=0)
+        if n_img == 0:
+            return None
+        size = self.cfg.image_size
+        flat = []
+        for r in requests:
+            for im in r.images:
+                # device arrays pass straight through (no host copy);
+                # grayscale -> RGB on whichever side the data lives
+                if isinstance(im, jax.Array):
+                    if im.ndim == 2:
+                        im = jnp.repeat(im[..., None], 3, axis=-1)
+                else:
+                    if im.ndim == 2:
+                        im = np.repeat(im[..., None], 3, axis=-1)
+                    if im.shape[0] * im.shape[1] > 4 * size * size:
+                        # big host frames resize BEFORE upload: a raw
+                        # 900x1600 six-pack is ~26 MB h2d per scene,
+                        # vs ~0.9 MB after host-side downscale
+                        import cv2
+
+                        im = cv2.resize(im, (size, size),
+                                        interpolation=cv2.INTER_AREA)
+                flat.append(im)
+        return flat
+
+    def _encode_request_images(self, requests: List[Request], flat=None):
         """One shape-grouped ViT pass over every request's images."""
         img_embeds = None
         n_img = max((len(r.images) for r in requests), default=0)
         if n_img > 0:
             tpi = self.cfg.tokens_per_image
-            size = self.cfg.image_size
-            flat = []
-            for r in requests:
-                for im in r.images:
-                    # device arrays pass straight through (no host copy);
-                    # grayscale -> RGB on whichever side the data lives
-                    if isinstance(im, jax.Array):
-                        if im.ndim == 2:
-                            im = jnp.repeat(im[..., None], 3, axis=-1)
-                    else:
-                        if im.ndim == 2:
-                            im = np.repeat(im[..., None], 3, axis=-1)
-                        if im.shape[0] * im.shape[1] > 4 * size * size:
-                            # big host frames resize BEFORE upload: a raw
-                            # 900x1600 six-pack is ~26 MB h2d per scene,
-                            # vs ~0.9 MB after host-side downscale
-                            import cv2
-
-                            im = cv2.resize(im, (size, size),
-                                            interpolation=cv2.INTER_AREA)
-                    flat.append(im)
+            if flat is None:
+                flat = self._prep_request_images(requests)
             # group by raw shape so each shape preprocesses as one batch
             # (shapes recur across scenes: camera frames, BEV, cluster tiles)
             enc = [None] * len(flat)

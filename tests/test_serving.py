@@ -130,6 +130,34 @@ def test_engine_free_text_batch():
     assert engine.stats["decode_tokens"] > 0
 
 
+def test_engine_threaded_calls_match_serial():
+    """generate_batch's lock split (host prep + d2h fetch outside
+    DEVICE_LOCK, dispatch inside) must keep concurrent greedy calls
+    identical to serial ones."""
+    import threading
+
+    engine = InferenceEngine(TINY, seed=0, num_pages=64,
+                             max_pages_per_seq=32)
+    prompts = [f"count to {i}" for i in range(4)]
+
+    def one(p):
+        return engine.generate_batch(
+            [Request(messages=[{"role": "user", "content": p}],
+                     temperature=0.0, max_new_tokens=8)])[0]
+
+    serial = [one(p) for p in prompts]
+    results = {}
+    threads = [threading.Thread(target=lambda p=p: results.__setitem__(
+        p, one(p))) for p in prompts]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert [results[p] for p in prompts] == serial
+    assert engine.allocator.used == 0
+    assert engine.stats["calls"] == 8
+
+
 def test_engine_paged_layout_matches_contiguous():
     """Both KV layouts must produce identical greedy tokens."""
     reqs = [Request(messages=[{"role": "user", "content": "abc def"}],
