@@ -158,7 +158,10 @@ def main():
         for path, leaf in jax.tree_util.tree_flatten_with_path(
                 engine.vlm.params)[0]:
             n = int(leaf.size) if hasattr(leaf, "size") else 0
-            if "vit" in str(path).lower():
+            key = str(path).lower()
+            if "wqkv" in key or "w_gu" in key:
+                continue  # packed decode copies of already-counted weights
+            if "vit" in key:
                 n_vit += n
             else:
                 n_dec += n

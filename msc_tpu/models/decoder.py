@@ -112,6 +112,50 @@ def init_kv_cache(cfg: VLMConfig, batch: int, num_pages: int,
     )
 
 
+def pack_for_decode(dparams: Dict) -> Dict:
+    """Add per-layer packed projection weights for the serving decode step.
+
+    The decode step runs on a (B, 1, D) activation — each projection
+    matmul is a tiny dispatch whose fixed cost rivals its math, so the
+    engine packs q|k|v into one (D, (H+2*KV)*hd) matrix and gate|up into
+    one (D, 2*M): 5 weight reads/launches per layer instead of 8.  The
+    unpacked weights stay (prefill and training read them); the packed
+    copies are decode-only so per-step HBM traffic is unchanged.
+    Single-chip serving only — the TP mesh shards the unpacked names
+    (parallel/mesh.py).
+    """
+    out = dict(dparams)
+    layers = []
+    for layer in dparams["layers"]:
+        L = dict(layer)
+        L["wqkv"] = jnp.concatenate(
+            [layer["wq"], layer["wk"], layer["wv"]], axis=1)
+        if "w_gate" in layer:
+            L["w_gu"] = jnp.concatenate(
+                [layer["w_gate"], layer["w_up"]], axis=1)
+        layers.append(L)
+    out["layers"] = layers
+    return out
+
+
+def _proj_qkv(layer, h, dtype, H, KV, hd):
+    """(..., D) -> q (..., H*hd), k (..., KV*hd), v (..., KV*hd), using
+    the packed wqkv when present (decode fast path)."""
+    if "wqkv" in layer:
+        qkv = jnp.dot(h, layer["wqkv"].astype(dtype),
+                      preferred_element_type=jnp.float32).astype(dtype)
+        return (qkv[..., : H * hd],
+                qkv[..., H * hd: (H + KV) * hd],
+                qkv[..., (H + KV) * hd:])
+    q = jnp.dot(h, layer["wq"].astype(dtype),
+                preferred_element_type=jnp.float32).astype(dtype)
+    k = jnp.dot(h, layer["wk"].astype(dtype),
+                preferred_element_type=jnp.float32).astype(dtype)
+    v = jnp.dot(h, layer["wv"].astype(dtype),
+                preferred_element_type=jnp.float32).astype(dtype)
+    return q, k, v
+
+
 def _rmsnorm(x, scale):
     x32 = x.astype(jnp.float32)
     y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + 1e-6)
@@ -132,11 +176,19 @@ def _rope(x, positions, theta: float):
     return out.astype(x.dtype)
 
 
-def _mlp(layer, x, dtype, top_k: int = 2):
+def _mlp(layer, x, dtype, top_k: int = 2, packed: bool = False):
     if "router" in layer:
         return _moe_ffn(layer, x, dtype, top_k)
-    g = jnp.dot(x, layer["w_gate"].astype(dtype), preferred_element_type=jnp.float32)
-    u = jnp.dot(x, layer["w_up"].astype(dtype), preferred_element_type=jnp.float32)
+    if packed and "w_gu" in layer:
+        M = layer["w_down"].shape[0]
+        gu = jnp.dot(x, layer["w_gu"].astype(dtype),
+                     preferred_element_type=jnp.float32)
+        g, u = gu[..., :M], gu[..., M:]
+    else:
+        g = jnp.dot(x, layer["w_gate"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+        u = jnp.dot(x, layer["w_up"].astype(dtype),
+                    preferred_element_type=jnp.float32)
     h = (jax.nn.silu(g) * u).astype(dtype)
     return jnp.dot(h, layer["w_down"].astype(dtype),
                    preferred_element_type=jnp.float32).astype(dtype)
@@ -534,12 +586,8 @@ def decode_step_contig(params: Dict, cfg: VLMConfig, tokens: jax.Array,
 
     for li, layer in enumerate(params["layers"]):
         h = _rmsnorm(x, layer["ln1"])
-        q = jnp.dot(h, layer["wq"].astype(dtype),
-                    preferred_element_type=jnp.float32).astype(dtype)
-        k = jnp.dot(h, layer["wk"].astype(dtype),
-                    preferred_element_type=jnp.float32).astype(dtype)
-        v = jnp.dot(h, layer["wv"].astype(dtype),
-                    preferred_element_type=jnp.float32).astype(dtype)
+        q, k, v = _proj_qkv(layer, h, dtype, cfg.n_heads, cfg.n_kv_heads,
+                            cfg.head_dim)
         q = _rope(q.reshape(B, 1, cfg.n_heads, cfg.head_dim),
                   pos[None, None], cfg.rope_theta)
         k = _rope(k.reshape(B, 1, cfg.n_kv_heads, cfg.head_dim),
@@ -566,7 +614,7 @@ def decode_step_contig(params: Dict, cfg: VLMConfig, tokens: jax.Array,
         x = x + jnp.dot(o, layer["wo"].astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
         x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
-                     cfg.moe_top_k)
+                     cfg.moe_top_k, packed=True)
 
     x = _rmsnorm(x, params["ln_f"])[:, 0]
     logits = jnp.dot(x, params["embed"].T.astype(dtype),
@@ -653,7 +701,7 @@ def decode_step(params: Dict, cfg: VLMConfig, tokens: jax.Array,
                     preferred_element_type=jnp.float32).astype(dtype)
         x = x + o
         x = x + _mlp(layer, _rmsnorm(x, layer["ln2"]), dtype,
-                     cfg.moe_top_k)
+                     cfg.moe_top_k, packed=True)
 
     x = _rmsnorm(x, params["ln_f"])[:, 0]
     logits = jnp.dot(x, params["embed"].T.astype(dtype),

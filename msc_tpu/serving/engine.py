@@ -113,6 +113,10 @@ class InferenceEngine:
             # through the tunnel — measured 5 s/call, a 70x bench
             # regression the first time a trained checkpoint was served)
             params = jax.device_put(params)
+            # single-chip serving: pack q|k|v and gate|up projections so
+            # the decode step runs 5 weight matmuls/layer instead of 8
+            # (the TP mesh path shards the unpacked names instead)
+            params = {**params, "dec": dec.pack_for_decode(params["dec"])}
         # seq_mesh: serving-side sequence parallelism — contiguous prefill
         # attention rides ring attention over the mesh's ``seq`` axis
         self.vlm = VLM(cfg, params, seq_mesh=seq_mesh)

@@ -130,6 +130,27 @@ def test_engine_free_text_batch():
     assert engine.stats["decode_tokens"] > 0
 
 
+def test_packed_decode_weights_token_identical():
+    """pack_for_decode (fused q|k|v and gate|up serving matmuls) must not
+    change a single generated token vs the unpacked weights."""
+    from msc_tpu.models import decoder as dec
+    from msc_tpu.models.vlm import init_vlm_params
+
+    params = init_vlm_params(jax.random.PRNGKey(3), TINY)
+    reqs = [Request(messages=[{"role": "user", "content": f"scene {i}"}],
+                    temperature=0.0, max_new_tokens=12) for i in range(2)]
+    plain = InferenceEngine(TINY, params=jax.tree.map(lambda x: x, params),
+                            seed=0, num_pages=64, max_pages_per_seq=32)
+    # strip the automatic packing to get the reference behavior
+    plain.vlm.params = {**params}
+    base = plain.generate_batch(reqs)
+
+    packed = InferenceEngine(TINY, params=params, seed=0, num_pages=64,
+                             max_pages_per_seq=32)
+    assert "wqkv" in packed.vlm.params["dec"]["layers"][0]
+    assert packed.generate_batch(reqs) == base
+
+
 def test_engine_threaded_calls_match_serial():
     """generate_batch's lock split (host prep + d2h fetch outside
     DEVICE_LOCK, dispatch inside) must keep concurrent greedy calls
