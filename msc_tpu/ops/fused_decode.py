@@ -11,18 +11,25 @@ the entire layer stack as one `pallas_call` with grid=(L,):
   HBM->VMEM by the grid BlockSpec (Pallas double-buffers them, so layer
   l+1's weights load while layer l computes — the bandwidth-optimal
   schedule for a weight-bound step);
-- the (B, D) activation lives in a VMEM accumulator aliased across grid
-  steps (sequential TPU grid = the layer loop);
-- the KV cache stays in HBM; each layer DMAs its (B, <=Tmax) K/V pages
-  through a VMEM scratch in chunks sized to the live length, computes
-  masked GQA attention in f32, and emits the new (k, v) row per layer —
-  the caller scatters them into the cache with ONE dynamic-update-slice
-  for all layers (vs 2L scattered updates before).
+- the (B, 1, D) activation lives in a VMEM accumulator whose block is
+  constant across the (sequential) grid steps — the layer loop carry;
+- the KV cache stays in HBM; each layer DMAs its (B, Tmax) K/V span
+  into VMEM scratch, computes masked GQA attention in f32, and emits
+  the new (k, v) row per layer — the caller scatters them into the
+  cache with ONE dynamic-update-slice for all layers (vs 2L scattered
+  updates before).
+
+Mosaic constraints that shaped the code: no cross-lane reshapes (hence
+the lane-wise RoPE via `pltpu.roll` and the unit middle dimension
+carried end-to-end instead of (B, H, hd) head reshapes), matmuls need
+non-empty non-contracting dims on both operands (hence (B, 1, hd) x
+(B, Tmax, hd) batched dots), and iota must be integer-typed.
 
 The kernel covers the dense (non-MoE) families on a single chip; the TP
 mesh path keeps the unpacked XLA step (parallel/mesh.py shards those
-names).  Token-identical to `decoder.decode_step_contig` (tested on the
-CPU interpreter and on-device).
+names).  Token-identical to `decoder.decode_step_contig` at f32 and
+within one rounding step at bf16 (tested on the CPU interpreter and
+on-device via tools/decode_bench.py).
 
 Reference cost anchor: the reference decodes on Azure; this subsystem is
 greenfield (SURVEY.md section 2.2 row 8, BASELINE.json north star).
@@ -65,18 +72,27 @@ def _rmsnorm_f32(x, scale):
     return y * scale.astype(jnp.float32)
 
 
-def _rope_row(x, pos, theta, n_heads, hd):
-    """x: (B, n_heads*hd) -> rope at scalar position pos."""
-    B = x.shape[0]
+def _rope_row(x, pos, theta, hd):
+    """x: (B, 1, n_heads*hd) -> rope at scalar position pos.
+
+    Lane-wise formulation (no cross-lane reshape, which Mosaic rejects):
+    out = x*cos + partner(x)*sgn*sin, where partner exchanges the two
+    halves of each head via two whole-row rolls + a select, sgn is -1 on
+    first-half lanes, and the per-lane frequency is theta^(-(c mod
+    half)/half) (both halves of a head share frequencies since hd =
+    2*half)."""
+    W = x.shape[-1]
     half = hd // 2
-    x = x.reshape(B * n_heads, hd)
-    freqs = theta ** (-jax.lax.broadcasted_iota(
-        jnp.float32, (1, half), 1) / half)      # (1, half)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    freqs = theta ** (-(col % half).astype(jnp.float32) / half)
     ang = pos.astype(jnp.float32) * freqs
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
-    x1, x2 = x[:, :half].astype(jnp.float32), x[:, half:].astype(jnp.float32)
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=1)
-    return out.reshape(B, n_heads * hd)
+    cosv, sinv = jnp.cos(ang), jnp.sin(ang)
+    first = (col % hd) < half                    # (1, 1, W)
+    x32 = x.astype(jnp.float32)
+    partner = jnp.where(first, pltpu.roll(x32, W - half, 2),
+                        pltpu.roll(x32, half, 2))
+    sgn = jnp.where(first, -1.0, 1.0)
+    return x32 * cosv + partner * sgn * sinv
 
 
 def _fused_kernel(pos_ref,                       # scalar prefetch (1,) SMEM
@@ -91,8 +107,7 @@ def _fused_kernel(pos_ref,                       # scalar prefetch (1,) SMEM
     pos = pos_ref[0]
     li = pl.program_id(0)
 
-    # ---- start K/V DMA for this layer's live prefix (whole rows; the
-    # mask below kills dead columns).  Chunking by CH columns bounds VMEM.
+    # ---- start this layer's K/V span streaming HBM -> VMEM
     k_dma = pltpu.make_async_copy(k_hbm.at[li], k_vmem, sems.at[0])
     v_dma = pltpu.make_async_copy(v_hbm.at[li], v_vmem, sems.at[1])
     k_dma.start()
@@ -106,15 +121,15 @@ def _fused_kernel(pos_ref,                       # scalar prefetch (1,) SMEM
     def _():
         x_out_ref[:] = x_ref[:]
 
-    x = x_out_ref[:]                              # (B, D) bf16
+    x = x_out_ref[:]                              # (B, 1, D)
     h = _rmsnorm_f32(x, ln1_ref[0]).astype(x.dtype)
     qkv = jnp.dot(h, wqkv_ref[0], preferred_element_type=jnp.float32)
-    q = qkv[:, : H * hd]
-    k_new = qkv[:, H * hd: (H + KV) * hd]
-    v_new = qkv[:, (H + KV) * hd:]                # (B, KV*hd) f32
+    q = qkv[:, :, : H * hd]
+    k_new = qkv[:, :, H * hd: (H + KV) * hd]
+    v_new = qkv[:, :, (H + KV) * hd:]             # (B, 1, KV*hd) f32
 
-    q = _rope_row(q, pos, theta, H, hd)           # f32
-    k_new = _rope_row(k_new, pos, theta, KV, hd)
+    q = _rope_row(q, pos, theta, hd)              # f32
+    k_new = _rope_row(k_new, pos, theta, hd)
     k_new_ref[0] = k_new.astype(k_new_ref.dtype)
     v_new_ref[0] = v_new.astype(v_new_ref.dtype)
     # round-trip through the cache dtype: the XLA path reads the newly
@@ -123,48 +138,48 @@ def _fused_kernel(pos_ref,                       # scalar prefetch (1,) SMEM
     v_new = v_new.astype(v_new_ref.dtype).astype(jnp.float32)
 
     # ---- masked GQA attention over the cached prefix + self
-    scale = hd ** -0.5
-    qh = q.reshape(B, KV, G, hd) * scale
-    # self-attention score (always valid)
-    s_self = jnp.sum(qh * k_new.reshape(B, KV, 1, hd), axis=-1)  # (B,KV,G)
+    q = q * hd ** -0.5                            # (B, 1, H*hd) f32
 
     k_dma.wait()
     v_dma.wait()
     ks = k_vmem[:].astype(x.dtype)                # (B, Tmax, KV*hd)
     vs = v_vmem[:].astype(x.dtype)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Tmax), 1)
-    live = (idx < pos) & (valid_ref[:] != 0)      # (B, Tmax)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Tmax), 2)
+    live = (idx < pos) & (valid_ref[:] != 0)      # (B, 1, Tmax)
 
-    # static loop over the KV groups: each is a 1-batch-dim dot_general
-    # (B, G, hd) x (B, Tmax, hd) -> (B, G, Tmax), Mosaic-friendly.
-    # Cast structure mirrors decoder._attention_full / decode_step_contig
-    # (f32 scores/softmax, compute-dtype probability x V matmul) so the
-    # fused path tracks the XLA path bit-for-bit at f32 and within one
-    # rounding step at bf16.
+    # static loop over heads — every operand stays rank 3 with lane
+    # slices only; the unit middle dim gives Mosaic's matmul the
+    # non-contracting dims it requires.  Cast structure mirrors
+    # decoder.decode_step_contig (f32 scores and softmax, compute-dtype
+    # probability x V matmul) so the fused path tracks the XLA path
+    # bit-for-bit at f32 and within one rounding step at bf16.
     o_parts = []
-    for kv in range(KV):
-        q_kv = qh[:, kv].astype(x.dtype)          # (B, G, hd)
-        k_kv = ks[:, :, kv * hd: (kv + 1) * hd]   # (B, Tmax, hd)
+    for head in range(H):
+        kv = head // G
+        q_h = q[:, :, head * hd: (head + 1) * hd]     # (B, 1, hd) f32
+        k_kv = ks[:, :, kv * hd: (kv + 1) * hd]       # (B, Tmax, hd)
         v_kv = vs[:, :, kv * hd: (kv + 1) * hd]
+        k_new_h = k_new[:, :, kv * hd: (kv + 1) * hd]
+        v_new_h = v_new[:, :, kv * hd: (kv + 1) * hd]
+        # self score (always attendable): (B, 1, 1)
+        s_sf = jnp.sum(q_h * k_new_h, axis=-1, keepdims=True)
+        # cached scores: (B, 1, hd) x (B, Tmax, hd) -> (B, 1, Tmax)
         s = jax.lax.dot_general(
-            q_kv, k_kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)   # (B, G, Tmax)
-        s = jnp.where(live[:, None, :], s, -1e30)
-        s_sf = s_self[:, kv]                      # (B, G)
-        m = jnp.maximum(jnp.max(s, axis=-1), s_sf)
-        p = jnp.exp(s - m[..., None])
+            q_h.astype(x.dtype), k_kv,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = jnp.where(live, s, -1e30)
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_sf)
+        p = jnp.exp(s - m)
         p_sf = jnp.exp(s_sf - m)
-        denom = jnp.sum(p, axis=-1) + p_sf        # (B, G)
-        p = (p / denom[..., None]).astype(x.dtype)
-        p_sf = (p_sf / denom).astype(x.dtype)
-        o_kv = jax.lax.dot_general(
+        denom = jnp.sum(p, axis=-1, keepdims=True) + p_sf   # (B, 1, 1)
+        p = (p / denom).astype(x.dtype)
+        o_h = jax.lax.dot_general(
             p, v_kv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)   # (B, G, hd)
-        o_kv = o_kv + (p_sf[..., None].astype(jnp.float32)
-                       * v_new[:, None, kv * hd: (kv + 1) * hd])
-        o_parts.append(o_kv)
-    o = jnp.concatenate(o_parts, axis=1)          # (B, H, hd)
-    o = o.reshape(B, H * hd).astype(x.dtype)
+            preferred_element_type=jnp.float32)   # (B, 1, hd)
+        o_h = o_h + (p_sf / denom) * v_new_h
+        o_parts.append(o_h)
+    o = jnp.concatenate(o_parts, axis=2).astype(x.dtype)    # (B, 1, H*hd)
 
     x = x + jnp.dot(o, wo_ref[0],
                     preferred_element_type=jnp.float32).astype(x.dtype)
@@ -172,7 +187,7 @@ def _fused_kernel(pos_ref,                       # scalar prefetch (1,) SMEM
     # ---- SwiGLU MLP
     h2 = _rmsnorm_f32(x, ln2_ref[0]).astype(x.dtype)
     gu = jnp.dot(h2, w_gu_ref[0], preferred_element_type=jnp.float32)
-    g, u = gu[:, :M], gu[:, M:]
+    g, u = gu[:, :, :M], gu[:, :, M:]
     ff = (jax.nn.silu(g) * u).astype(x.dtype)
     x = x + jnp.dot(ff, w_down_ref[0],
                     preferred_element_type=jnp.float32).astype(x.dtype)
@@ -204,15 +219,15 @@ def fused_decode_layers(x, fused: Dict, k_cache, v_cache, valid, pos,
         num_scalar_prefetch=1,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((B, D), lambda l, p: (0, 0),
+            pl.BlockSpec((B, 1, D), lambda l, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # x
-            pl.BlockSpec((1, D), lambda l, p: (l, 0),
+            pl.BlockSpec((1, 1, D), lambda l, p: (l, 0, 0),
                          memory_space=pltpu.VMEM),           # ln1
             pl.BlockSpec((1, D, (H + 2 * KV) * hd), lambda l, p: (l, 0, 0),
                          memory_space=pltpu.VMEM),           # wqkv
             pl.BlockSpec((1, H * hd, D), lambda l, p: (l, 0, 0),
                          memory_space=pltpu.VMEM),           # wo
-            pl.BlockSpec((1, D), lambda l, p: (l, 0),
+            pl.BlockSpec((1, 1, D), lambda l, p: (l, 0, 0),
                          memory_space=pltpu.VMEM),           # ln2
             pl.BlockSpec((1, D, 2 * M), lambda l, p: (l, 0, 0),
                          memory_space=pltpu.VMEM),           # w_gu
@@ -220,20 +235,20 @@ def fused_decode_layers(x, fused: Dict, k_cache, v_cache, valid, pos,
                          memory_space=pltpu.VMEM),           # w_down
             pl.BlockSpec(memory_space=pl.ANY),               # k_cache (HBM)
             pl.BlockSpec(memory_space=pl.ANY),               # v_cache (HBM)
-            pl.BlockSpec((B, Tmax), lambda l, p: (0, 0),
+            pl.BlockSpec((B, 1, Tmax), lambda l, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # valid
         ],
         out_specs=[
-            pl.BlockSpec((B, D), lambda l, p: (0, 0),
+            pl.BlockSpec((B, 1, D), lambda l, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # x_out
-            pl.BlockSpec((1, B, kvd), lambda l, p: (l, 0, 0),
+            pl.BlockSpec((1, B, 1, kvd), lambda l, p: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),           # k_new
-            pl.BlockSpec((1, B, kvd), lambda l, p: (l, 0, 0),
+            pl.BlockSpec((1, B, 1, kvd), lambda l, p: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),           # v_new
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, Tmax, kvd), k_cache.dtype),       # k chunk
-            pltpu.VMEM((B, Tmax, kvd), v_cache.dtype),       # v chunk
+            pltpu.VMEM((B, Tmax, kvd), k_cache.dtype),       # k span
+            pltpu.VMEM((B, Tmax, kvd), v_cache.dtype),       # v span
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -242,13 +257,14 @@ def fused_decode_layers(x, fused: Dict, k_cache, v_cache, valid, pos,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, D), x.dtype),
-            jax.ShapeDtypeStruct((L, B, kvd), k_cache.dtype),
-            jax.ShapeDtypeStruct((L, B, kvd), v_cache.dtype),
+            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+            jax.ShapeDtypeStruct((L, B, 1, kvd), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, B, 1, kvd), v_cache.dtype),
         ],
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1),
-      x, fused["ln1"], fused["wqkv"], fused["wo"], fused["ln2"],
-      fused["w_gu"], fused["w_down"], kc, vc,
-      valid.astype(jnp.int8))
-    return x_out, k_new, v_new
+      x[:, None, :], fused["ln1"][:, None, :], fused["wqkv"], fused["wo"],
+      fused["ln2"][:, None, :], fused["w_gu"], fused["w_down"], kc, vc,
+      valid[:, None, :].astype(jnp.int8))
+    return (x_out[:, 0, :], k_new.reshape(L, B, kvd),
+            v_new.reshape(L, B, kvd))

@@ -179,11 +179,13 @@ class InferenceEngine:
         prefill+decode program.  Returns decoded strings.
 
         Lock discipline: host-side prompt building (tokenize, cv2 image
-        downscale) runs BEFORE the device lock and the blocking d2h fetch
-        of the result runs AFTER it — only device dispatch and engine
-        state mutation (page pools, prefix cache, rng) are serialized.
-        With parallel_l1 / continuous batching, one thread's ~27 ms
-        tunnel fetch no longer blocks another thread's dispatch."""
+        downscale) runs BEFORE the device lock; dispatch, engine-state
+        mutation (page pools, prefix cache, rng) AND the blocking d2h
+        fetch stay inside it.  Keeping the fetch under the lock is
+        deliberate: concurrent tunnel RPCs degrade the axon dev tunnel
+        pathologically (measured 12 calls in 6 minutes with overlapped
+        fetches); on direct-attached TPUs the fetch is 1-3 ms so the
+        forgone overlap is negligible."""
         if not requests:
             return []
         schema = requests[0].schema
@@ -198,10 +200,12 @@ class InferenceEngine:
         with DEVICE_LOCK:
             result, meta = self._dispatch_locked(requests, schema,
                                                  tok_lists, host_images)
-        B_real, B, T, max_new, had_prefix, img_embeds = meta
-        # ONE synchronous tunnel round trip for both outputs (each sync
-        # fetch costs ~27 ms over the tunnel; a tuple device_get is one)
-        out_tokens, lengths = jax.device_get((result.tokens, result.lengths))
+            B_real, B, T, max_new, had_prefix, img_embeds = meta
+            # ONE synchronous tunnel round trip for both outputs (each
+            # sync fetch costs ~27 ms over the tunnel; a tuple
+            # device_get is one)
+            out_tokens, lengths = jax.device_get(
+                (result.tokens, result.lengths))
         with self._stats_lock:
             self.stats["calls"] += 1
             self.stats["prefill_tokens"] += sum(

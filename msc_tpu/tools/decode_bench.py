@@ -87,6 +87,9 @@ def main():
         jax.block_until_ready(toks)
         _, cache = dec.prefill_contig(params, cfg, jnp.asarray(ids), None,
                                       t_max, PAD_ID, IMG_ID)
+        # the un-jitted prefill queues hundreds of async dispatches; wait
+        # for them so the timed window holds ONLY the decode scan
+        jax.block_until_ready(cache)
         t0 = time.perf_counter()
         toks2, _ = decode_n(p, cache, tok0)
         jax.block_until_ready(toks2)
