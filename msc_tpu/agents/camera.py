@@ -69,6 +69,7 @@ class CameraAgent(BaseAgent):
         response = self.call_llm(messages, temperature=0.3,
                                  task="camera_describe", images=images,
                                  max_new_tokens=256)
+        response = self._append_detections(response, images, camera_names)
 
         observations = self._split_by_camera(response, camera_names)
         return {
@@ -78,6 +79,40 @@ class CameraAgent(BaseAgent):
             "observations": observations,
             "full_response": response,
         }
+
+    @staticmethod
+    def _append_detections(response: str, images: List[np.ndarray],
+                           camera_names: List[str]) -> str:
+        """Host-append a ``CAMERAS_JSON`` marker from the pixel detector —
+        the camera data plane's numeric front end, mirroring the lidar
+        agent's clustering + host-appended DETECTIONS_JSON design: the
+        model call supplies prose, the detector supplies the structured
+        object knowledge that camera-only ablations need downstream.
+
+        Skipped when the backend already emitted the marker (the analytic
+        backend is itself pixel-grounded, serving/analytic.py _camera).
+        The detector recognizes the mock renderer's palette objects; on
+        real imagery it returns nothing — a trained detector head slots
+        in here for real-data deployments.
+        """
+        import json
+
+        from msc_tpu.serving.analytic import (
+            _detect_mock_objects, CAM_MARKER,
+        )
+
+        if CAM_MARKER in response:
+            return response
+        detections = []
+        for i, name in enumerate(camera_names):
+            if i >= len(images):
+                break
+            direction = name.lower().removeprefix("cam_").replace("_", " ")
+            for d in _detect_mock_objects(images[i]):
+                detections.append({**d, "direction": direction})
+        if not detections:
+            return response
+        return response + f"\n{CAM_MARKER} {json.dumps(detections)}"
 
     @staticmethod
     def _split_by_camera(response: str, camera_names: List[str]) -> Dict[str, str]:

@@ -64,7 +64,12 @@ class IterativeRefinementController:
                 break
             refined = self.editor.refine(current, suggestion,
                                          transformed_content, iteration)
-            current = refined["refined_caption"]
+            # host-carry the marker lines through the edit (the
+            # constrained editor cannot even emit double quotes; see
+            # utils/markers.py)
+            from msc_tpu.utils.markers import carry_markers
+
+            current = carry_markers(refined["refined_caption"], [current])
             record.refined_caption = current
             record.changes_made = refined["changes_made"]
             self.iterations.append(record)

@@ -158,6 +158,15 @@ class SemanticCaptioningPipeline:
         with self.timer.stage("layer2.seed"):
             seed_caption = self.seed_agent.generate_comprehensive_caption(
                 transformed_content)
+        # the HOST carries the L1 marker lines into the merged caption
+        # (utils/markers.py: the model merges prose; the pipeline is the
+        # verbatim copier the reference expects GPT-4o to be)
+        from msc_tpu.agents.seed import _format_observation
+        from msc_tpu.utils.markers import carry_markers
+
+        seed_caption["final_caption"] = carry_markers(
+            seed_caption["final_caption"],
+            [_format_observation(o) for o in transformed_content["observations"]])
         results["pipeline_stages"]["layer2_seed_caption"] = seed_caption
 
         # ---- Layer 3: iterative refinement ----

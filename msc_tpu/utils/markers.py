@@ -1,0 +1,65 @@
+"""Host-side transport of machine-readable marker lines between layers.
+
+The pipeline's structured object knowledge travels in observation TEXT as
+line-anchored ``OBJECTS_JSON:`` / ``DETECTIONS_JSON:`` / ``CAMERAS_JSON:``
+markers (reference semantics: information between layers is text,
+`src/pipeline.py:106-186`).  The reference relies on GPT-4o faithfully
+copying those lines through the seed-merge and editor calls
+(`src/agents/seed_generation/seedfeature_agent.py:132`,
+`src/agents/refinement/editor_agent.py:64-65`); a small on-TPU VLM
+cannot be trusted to reproduce hundreds of JSON tokens verbatim — and the
+constrained editor structurally cannot (its DFA string alphabet excludes
+double quotes).
+
+``carry_markers`` makes the PIPELINE the copier, the same design already
+used inside Layer 1 (the lidar/scene-graph agents append their markers
+after the model call — `agents/lidar.py`, `agents/scenegraph.py:287`):
+model prose flows through the text channel, and the host glue re-appends
+the authoritative marker lines from the stage's inputs.  Model-emitted
+marker lines are dropped (a generative model can only corrupt them, and a
+budget-clipped decode can leave a truncated marker that would poison
+downstream JSON parsing).  Information topology is unchanged — markers
+still ride the observation text into every downstream prompt.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List
+
+
+def marker_prefixes() -> tuple:
+    from msc_tpu.serving.analytic import CAM_MARKER, DET_MARKER, OBJ_MARKER
+
+    return (OBJ_MARKER, DET_MARKER, CAM_MARKER)
+
+
+def extract_marker_lines(text: str) -> List[str]:
+    """All line-anchored marker lines in ``text``, stripped, in order."""
+    prefixes = marker_prefixes()
+    out = []
+    for line in text.splitlines():
+        ls = line.strip()
+        if ls.startswith(prefixes) and ls not in out:
+            out.append(ls)
+    return out
+
+
+def carry_markers(text: str, sources: Iterable[str]) -> str:
+    """Return ``text`` with the marker lines of ``sources`` re-appended.
+
+    Marker lines already present in ``text`` (including truncated ones)
+    are removed first — the source markers are authoritative.  If the
+    sources carry no markers, ``text`` is returned unchanged.
+    """
+    src_markers: List[str] = []
+    for s in sources:
+        for m in extract_marker_lines(s or ""):
+            if m not in src_markers:
+                src_markers.append(m)
+    if not src_markers:
+        return text
+    prefixes = marker_prefixes()
+    kept = [l for l in text.splitlines()
+            if not l.strip().startswith(prefixes)]
+    body = "\n".join(kept).rstrip()
+    return body + "\n" + "\n".join(src_markers)

@@ -233,3 +233,62 @@ def test_parallel_l1_matches_serial(mock_sample):
                b["pipeline_stages"]["layer1_content_transformation"]]
     assert order_a == order_b
     assert a["structured_caption"] == b["structured_caption"]
+
+
+def test_markers_survive_model_stages(mock_sample):
+    """The HOST carries OBJECTS_JSON/DETECTIONS_JSON/CAMERAS_JSON marker
+    lines through the seed-merge and editor stages (utils/markers.py) —
+    with a FakeBackend that never reproduces markers, the final caption
+    must still carry them (the round-2 full-pipeline VLM eval collapsed
+    to 18% exactly because a small model cannot copy 500-token JSON
+    verbatim)."""
+    cfg = ModelConfig()
+    cfg.backend.kind = "fake"
+    fake = FakeBackend(responses={
+        "*": "Fake scene prose without any marker lines.",
+        "suggest": {"has_suggestions": True,
+                    "suggestions": ["add detail"], "reasoning": "test"},
+        "edit": {"caption": "Edited prose, markers forgotten."},
+        "structure_caption": {
+            "scene_summary": "fake",
+            "ego_vehicle": {"action": "driving", "lane_position": "center",
+                            "speed_estimate": "moderate"},
+            "objects": [],
+            "road_structure": {"type": "straight", "lanes": "2",
+                               "markings": []},
+            "environment": {"lighting": "day", "weather": "clear",
+                            "location_type": "urban"},
+            "safety_critical": [],
+        },
+    })
+    pipe = SemanticCaptioningPipeline(cfg, backend=fake, verbose=False)
+    result = pipe.process_scene(
+        images=mock_sample["images"],
+        camera_names=mock_sample["camera_names"],
+        point_cloud=mock_sample["point_cloud"],
+        annotations=mock_sample["annotations"],
+        modality_config=ModalityConfig(),
+    )
+    full = result["structured_caption"]["full_caption"]
+    assert "OBJECTS_JSON:" in full          # annotations (scene graph)
+    # the marker payload must parse and carry the real object set
+    line = next(l for l in full.splitlines()
+                if l.strip().startswith("OBJECTS_JSON:"))
+    objs = json.loads(line.split(":", 1)[1])
+    assert len(objs) == len(mock_sample["annotations"])
+    # pixel-grounded camera detections appended by the camera agent
+    assert "CAMERAS_JSON:" in full
+
+
+def test_carry_markers_drops_corrupt_and_appends():
+    from msc_tpu.utils.markers import carry_markers
+
+    src = 'prose\nOBJECTS_JSON: [{"category": "car"}]\nmore'
+    # model output mangled one marker and truncated another
+    out = 'edited prose\nOBJECTS_JSON: [{"cat\nDETECTIONS_JSON: [{"x":'
+    carried = carry_markers(out, [src])
+    lines = carried.splitlines()
+    assert lines[0] == "edited prose"
+    assert lines[-1] == 'OBJECTS_JSON: [{"category": "car"}]'
+    assert sum(l.startswith("OBJECTS_JSON") for l in lines) == 1
+    assert not any(l.startswith("DETECTIONS_JSON") for l in lines)
