@@ -119,15 +119,27 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
                             samples_per_scene=1)
 
     all_configs = ModalityConfigGenerator.generate_all_configs()
-    modalities = ([(n, all_configs[n]) for n in config_names]
-                  if config_names != ("full",)
-                  else [("full", ModalityConfig())])
+    if config_names == ("rotate",):
+        # per-scene config rotation: every ablation config appears in the
+        # training distribution at the SAME dataset-build cost as
+        # full-only — without it the model only ever sees captions whose
+        # markers come from annotations (OBJECTS_JSON) and cannot answer
+        # from DETECTIONS_JSON/CAMERAS_JSON-only captions (measured:
+        # lidar_only/all_cams held-out accuracy 19-20% vs full 61%)
+        rotation = list(all_configs.items())
+        modalities = None
+    else:
+        modalities = ([(n, all_configs[n]) for n in config_names]
+                      if config_names != ("full",)
+                      else [("full", ModalityConfig())])
 
     pairs_by_scene: List[List[tuple]] = []
     for i in range(num_scenes):
         sample = loader.get_sample_by_scene_index(i, 0)
         scene_pairs: List[tuple] = []
-        for _cname, modality in modalities:
+        scene_mods = (modalities if modalities is not None
+                      else [rotation[i % len(rotation)]])
+        for _cname, modality in scene_mods:
             recorder.take()  # drop any stale records
             result = pipeline.process_scene(
                 images=sample["images"],
@@ -149,6 +161,18 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
                 if rec["response_format"] is not None:
                     target = canonicalize_for_dfa(rec["response_format"],
                                                   target)
+                else:
+                    # the HOST carries marker lines between layers
+                    # (utils/markers.py), so the model must never learn
+                    # to emit them: strip them from free-text targets.
+                    # This also cuts the seed/merge targets from ~1000
+                    # to ~400 tokens (markers were most of the length).
+                    from msc_tpu.utils.markers import marker_prefixes
+
+                    pref = marker_prefixes()
+                    target = "\n".join(
+                        l for l in target.splitlines()
+                        if not l.strip().startswith(pref)).strip()
                 gt = None
                 if rec["task"] == "mqa_answer":
                     # attach the dataset ground truth for eval bookkeeping
@@ -247,6 +271,9 @@ def main():
     ap.add_argument("--max-len-long", type=int, default=2560)
     ap.add_argument("--preset", default="msc-vlm-s")
     ap.add_argument("--tasks", default="all", choices=["all", "mqa"])
+    ap.add_argument("--configs", default="full",
+                    help='"full", "rotate" (per-scene ablation-config '
+                         'rotation), or comma-separated config names')
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--save", default=None)
@@ -279,9 +306,11 @@ def main():
            else vlm_preset(args.preset))
     tokenizer = make_tokenizer(cfg)  # MUST match the serving tokenizer
 
-    print(f"building {args.tasks}-task dataset from {args.scenes} scenes...")
+    print(f"building {args.tasks}-task dataset from {args.scenes} scenes "
+          f"(configs={args.configs})...")
     train_pairs, eval_pairs, _ = build_multitask_dataset(
-        args.scenes, holdout=args.holdout, tasks=args.tasks)
+        args.scenes, holdout=args.holdout, tasks=args.tasks,
+        config_names=tuple(args.configs.split(",")))
     from collections import Counter
 
     print(f"train pairs: {len(train_pairs)}, eval pairs: {len(eval_pairs)}")
