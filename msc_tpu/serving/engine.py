@@ -191,6 +191,15 @@ class InferenceEngine:
         schema = requests[0].schema
         assert all(r.schema is schema for r in requests), \
             "generate_batch requires a homogeneous schema"
+        if len(requests) > 16:
+            # the batch dim buckets at (1,2,4,8,16); an oversized batch
+            # (e.g. a 19-question MQA scene) would compile its own exact-B
+            # program — chunk instead (the shared-prefix pages created by
+            # the first chunk are reused by the rest)
+            out: List[str] = []
+            for i in range(0, len(requests), 16):
+                out.extend(self.generate_batch(requests[i: i + 16]))
+            return out
         if _DEBUG:
             import time as _time
 

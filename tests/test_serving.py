@@ -130,6 +130,21 @@ def test_engine_free_text_batch():
     assert engine.stats["decode_tokens"] > 0
 
 
+def test_oversized_batch_chunks_to_buckets():
+    """A >16-request batch (a 19-question MQA scene) chunks into bucketed
+    sub-batches instead of compiling an exact-B program."""
+    engine = InferenceEngine(TINY, seed=0, num_pages=128,
+                             max_pages_per_seq=32)
+    reqs = [Request(messages=[{"role": "user", "content": f"q {i}"}],
+                    temperature=0.0, max_new_tokens=8) for i in range(19)]
+    outs = engine.generate_batch(reqs)
+    assert len(outs) == 19
+    # per-request results must match the request order (chunk boundaries
+    # preserved): re-running any single request reproduces its answer
+    assert engine.generate_batch([reqs[17]])[0] == outs[17]
+    assert engine.allocator.used == 0
+
+
 def test_packed_decode_weights_token_identical():
     """pack_for_decode (fused q|k|v and gate|up serving matmuls) must not
     change a single generated token vs the unpacked weights."""
