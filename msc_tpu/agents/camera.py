@@ -102,7 +102,20 @@ class CameraAgent(BaseAgent):
         )
 
         if CAM_MARKER in response:
-            return response
+            # keep a backend-emitted marker only if its payload parses
+            # (the analytic backend's is authoritative); a model-emitted
+            # corrupt line is stripped and replaced by the detector's
+            for line in response.splitlines():
+                ls = line.strip()
+                if ls.startswith(CAM_MARKER):
+                    try:
+                        json.loads(ls[len(CAM_MARKER):])
+                        return response
+                    except ValueError:
+                        break
+            response = "\n".join(
+                l for l in response.splitlines()
+                if not l.strip().startswith(CAM_MARKER)).rstrip()
         detections = []
         for i, name in enumerate(camera_names):
             if i >= len(images):
