@@ -89,7 +89,12 @@ class CaptionGenerator(BaseAgent):
                                      response_format=StructuredCaption,
                                      task="structure_caption")
             caption_dict = response.model_dump()
-            caption_dict["full_caption"] = refined_caption
+            # full_caption injection (parity caption_agent.py:90) + the
+            # host-computed COUNTS_JSON tally (utils/markers.py) so MQA
+            # count answers are a lookup, not model arithmetic
+            from msc_tpu.utils.markers import append_counts
+
+            caption_dict["full_caption"] = append_counts(refined_caption)
             return {"agent": self.agent_name,
                     "structured_caption": caption_dict}
         except Exception as e:

@@ -27,10 +27,52 @@ from __future__ import annotations
 from typing import Iterable, List
 
 
+COUNTS_MARKER = "COUNTS_JSON:"
+
+
 def marker_prefixes() -> tuple:
     from msc_tpu.serving.analytic import CAM_MARKER, DET_MARKER, OBJ_MARKER
 
     return (OBJ_MARKER, DET_MARKER, CAM_MARKER)
+
+
+def append_counts(text: str) -> str:
+    """Append a ``COUNTS_JSON`` tally of the marker objects to ``text``.
+
+    Counting is deterministic aggregation over data already in the text
+    channel, so it belongs to the host data plane — the reference leans
+    on GPT-4o to do this arithmetic inside the MQA call
+    (`src/agents/structure_caption/caption_agent.py:127-148`); here the
+    caption carries the exact tally and the model answers by lookup
+    (measured: a 35M VLM sums marker entries at ~50% accuracy but reads
+    fields reliably).  Categories/views are normalized with the SAME
+    functions the evaluator and analytic answerer use (eval/synonyms.py)
+    so the keys line up with question phrasing."""
+    import json
+
+    from msc_tpu.eval.synonyms import normalize_camera, normalize_object_name
+    from msc_tpu.serving.analytic import extract_markers
+
+    objs = extract_markers(text)
+    if not objs:
+        return text
+    scene: dict = {}
+    views: dict = {}
+    for o in objs:
+        cat = (normalize_object_name(o.get("category", ""))
+               or str(o.get("category", "")))
+        scene[cat] = scene.get(cat, 0) + 1
+        view = normalize_camera(str(o.get("direction", "")))
+        if view:
+            views.setdefault(view, {})
+            views[view][cat] = views[view].get(cat, 0) + 1
+    payload = {"scene": dict(sorted(scene.items())),
+               "views": {v: dict(sorted(c.items()))
+                         for v, c in sorted(views.items())}}
+    kept = [l for l in text.splitlines()
+            if not l.strip().startswith(COUNTS_MARKER)]
+    return ("\n".join(kept).rstrip() + "\n"
+            + f"{COUNTS_MARKER} {json.dumps(payload, separators=(',', ':'))}")
 
 
 def extract_marker_lines(text: str) -> List[str]:

@@ -292,3 +292,17 @@ def test_carry_markers_drops_corrupt_and_appends():
     assert lines[-1] == 'OBJECTS_JSON: [{"category": "car"}]'
     assert sum(l.startswith("OBJECTS_JSON") for l in lines) == 1
     assert not any(l.startswith("DETECTIONS_JSON") for l in lines)
+
+
+def test_counts_marker_appended_to_full_caption(full_result, mock_sample):
+    """Layer 4 appends a host-computed COUNTS_JSON tally of the marker
+    objects to full_caption (count answers become a lookup instead of
+    model arithmetic)."""
+    full = full_result["structured_caption"]["full_caption"]
+    assert "COUNTS_JSON:" in full
+    line = next(l for l in full.splitlines()
+                if l.strip().startswith("COUNTS_JSON:"))
+    payload = json.loads(line.split(":", 1)[1])
+    assert set(payload) == {"scene", "views"}
+    total = sum(payload["scene"].values())
+    assert total == len(mock_sample["annotations"])
