@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Iterable, List
 
 
-COUNTS_MARKER = "COUNTS_JSON:"
+COUNTS_MARKER = "COUNTS:"
 
 
 def marker_prefixes() -> tuple:
@@ -46,10 +46,11 @@ def append_counts(text: str) -> str:
     caption carries the exact tally and the model answers by lookup
     (measured: a 35M VLM sums marker entries at ~50% accuracy but reads
     fields reliably).  Categories/views are normalized with the SAME
-    functions the evaluator and analytic answerer use (eval/synonyms.py)
-    so the keys line up with question phrasing."""
-    import json
-
+    functions the evaluator and analytic answerer use (eval/synonyms.py),
+    and the tally is emitted as NATURAL-LANGUAGE lines whose surface form
+    matches the "<cnt>N</cnt> <obj>category</obj>" answer template —
+    a nested-JSON payload measured WORSE than no tally (count_camera
+    57.9% -> 40.0%) because the small model fumbles nested key lookup."""
     from msc_tpu.eval.synonyms import normalize_camera, normalize_object_name
     from msc_tpu.serving.analytic import extract_markers
 
@@ -66,13 +67,16 @@ def append_counts(text: str) -> str:
         if view:
             views.setdefault(view, {})
             views[view][cat] = views[view].get(cat, 0) + 1
-    payload = {"scene": dict(sorted(scene.items())),
-               "views": {v: dict(sorted(c.items()))
-                         for v, c in sorted(views.items())}}
+
+    def fmt(counts: dict) -> str:
+        return "; ".join(f"{n} {c}" for c, n in sorted(counts.items()))
+
+    lines = [f"{COUNTS_MARKER} scene: {fmt(scene)}"]
+    for v, c in sorted(views.items()):
+        lines.append(f"{COUNTS_MARKER} {v}: {fmt(c)}")
     kept = [l for l in text.splitlines()
             if not l.strip().startswith(COUNTS_MARKER)]
-    return ("\n".join(kept).rstrip() + "\n"
-            + f"{COUNTS_MARKER} {json.dumps(payload, separators=(',', ':'))}")
+    return "\n".join(kept).rstrip() + "\n" + "\n".join(lines)
 
 
 def extract_marker_lines(text: str) -> List[str]:

@@ -295,14 +295,18 @@ def test_carry_markers_drops_corrupt_and_appends():
 
 
 def test_counts_marker_appended_to_full_caption(full_result, mock_sample):
-    """Layer 4 appends a host-computed COUNTS_JSON tally of the marker
-    objects to full_caption (count answers become a lookup instead of
-    model arithmetic)."""
+    """Layer 4 appends a host-computed COUNTS tally of the marker objects
+    to full_caption as natural-language lines (count answers become a
+    read-off instead of model arithmetic)."""
+    import re
+
     full = full_result["structured_caption"]["full_caption"]
-    assert "COUNTS_JSON:" in full
-    line = next(l for l in full.splitlines()
-                if l.strip().startswith("COUNTS_JSON:"))
-    payload = json.loads(line.split(":", 1)[1])
-    assert set(payload) == {"scene", "views"}
-    total = sum(payload["scene"].values())
+    scene_line = next(l for l in full.splitlines()
+                      if l.strip().startswith("COUNTS: scene:"))
+    total = sum(int(n) for n in
+                re.findall(r"(\d+) [a-z]", scene_line.split(":", 2)[2]))
     assert total == len(mock_sample["annotations"])
+    # at least one per-view tally line
+    assert any(l.strip().startswith("COUNTS: ")
+               and not l.strip().startswith("COUNTS: scene:")
+               for l in full.splitlines())
