@@ -71,6 +71,16 @@ def append_counts(text: str) -> str:
     def fmt(counts: dict) -> str:
         return "; ".join(f"{n} {c}" for c, n in sorted(counts.items()))
 
+    # zero-fill the scene line over the full question taxonomy: "how
+    # many X" questions about ABSENT classes are a large share of the
+    # eval (count_scene measured 43% when absence had to be inferred
+    # from a class not being listed)
+    from msc_tpu.data.mqa import CATEGORY_TO_MQA_OBJECT
+
+    for name in CATEGORY_TO_MQA_OBJECT.values():
+        key = normalize_object_name(name) or name
+        scene.setdefault(key, 0)
+
     lines = [f"{COUNTS_MARKER} scene: {fmt(scene)}"]
     for v, c in sorted(views.items()):
         lines.append(f"{COUNTS_MARKER} {v}: {fmt(c)}")
