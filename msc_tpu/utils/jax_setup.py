@@ -61,4 +61,14 @@ def warmup_device_transfer():
         except Exception:
             pass
 
-    threading.Thread(target=_warm, daemon=True, name="msc-d2h-warmup").start()
+    t = threading.Thread(target=_warm, daemon=True, name="msc-d2h-warmup")
+    t.start()
+
+    # joining at exit prevents the tunnel client's C++ teardown from
+    # killing the process ("terminate called after throwing ...") when a
+    # short-lived tool exits while the warmup transfer is still blocked;
+    # long-lived processes (bench, runner, training) finish the warmup
+    # within seconds so the join is a no-op there
+    import atexit
+
+    atexit.register(lambda: t.join(timeout=330) if t.is_alive() else None)
