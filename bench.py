@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 WARMUP = int(os.environ.get("MSC_BENCH_WARMUP", "2"))
-TIMED = int(os.environ.get("MSC_BENCH_SCENES", "8"))
+TIMED = int(os.environ.get("MSC_BENCH_SCENES", "24"))
 BACKEND = os.environ.get("MSC_BENCH_BACKEND", "vlm")
 TARGET = 2.0  # scenes/sec/chip, BASELINE.json
 
@@ -51,8 +51,18 @@ def main():
     ckpt_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "ckpt")
     if not cfg.model.vlm_ckpt and os.path.isdir(ckpt_root):
-        cands = sorted(d for d in os.listdir(ckpt_root)
-                       if os.path.isdir(os.path.join(ckpt_root, d)))
+        import re as _re
+
+        def _round_key(d):
+            # numeric round suffix beats lexicographic (distill_r10 must
+            # outrank distill_r7); mtime breaks ties
+            m = _re.search(r"(\d+)$", d)
+            return (int(m.group(1)) if m else -1,
+                    os.path.getmtime(os.path.join(ckpt_root, d)))
+
+        cands = sorted((d for d in os.listdir(ckpt_root)
+                        if os.path.isdir(os.path.join(ckpt_root, d))),
+                       key=_round_key)
         if cands:
             cfg.model.vlm_ckpt = os.path.join(ckpt_root, cands[-1])
     # coalesce concurrent scenes' calls into batched device calls
@@ -117,7 +127,10 @@ def main():
     # cache-deserialize here, not in the timed window (see module doc)
     run_many(list(range(WARMUP)) + timed_idx)
 
-    engine = getattr(pipeline.client.backend, "engine", None)
+    # the backend may be a ContinuousBatcher wrapping the VLMBackend
+    _be = pipeline.client.backend
+    engine = getattr(_be, "engine", None) or getattr(
+        getattr(_be, "inner", None), "engine", None)
     if engine is not None:
         engine.stats = {k: 0 for k in engine.stats}
     pipeline.timer.reset()
@@ -143,7 +156,10 @@ def main():
     if lat:
         lat_sorted = sorted(lat)
         p50 = lat_sorted[len(lat_sorted) // 2]
+        mean = sum(lat) / len(lat)
+        std = (sum((x - mean) ** 2 for x in lat) / len(lat)) ** 0.5
         print(f"per-scene latency: p50={p50*1000:.0f}ms "
+              f"mean={mean*1000:.0f}ms sd={std*1000:.0f}ms "
               f"min={lat_sorted[0]*1000:.0f}ms "
               f"max={lat_sorted[-1]*1000:.0f}ms n={len(lat)}",
               file=sys.stderr)
@@ -159,8 +175,8 @@ def main():
                 engine.vlm.params)[0]:
             n = int(leaf.size) if hasattr(leaf, "size") else 0
             key = str(path).lower()
-            if "wqkv" in key or "w_gu" in key:
-                continue  # packed decode copies of already-counted weights
+            if "wqkv" in key or "w_gu" in key or "fused" in key:
+                continue  # packed/fused decode copies of counted weights
             if "vit" in key:
                 n_vit += n
             else:
@@ -168,7 +184,8 @@ def main():
         lm_tokens = st["prefill_tokens"] + st["decode_tokens"]
         flops = 2.0 * n_dec * lm_tokens + 2.0 * n_vit * st["image_tokens"]
         peak = 197e12
-        print(f"engine: {st['calls']} calls, "
+        print(f"engine: {st['calls']} calls "
+              f"({st['calls']/max(1,TIMED):.1f}/scene), "
               f"{st['prefill_tokens']} prefill + "
               f"{st['decode_tokens']} decode tokens, "
               f"{st['decode_tokens']/elapsed:.0f} decode tok/s, "

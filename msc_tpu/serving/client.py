@@ -152,10 +152,11 @@ class RecordingBackend(Backend):
 
     def __init__(self, inner: Backend, record_images: bool = False,
                  image_size: int = 224):
-        """record_images: keep each call's images, downscaled to
-        ``image_size`` with the SAME resample the serving engine uses for
-        big host frames (cv2 INTER_AREA) — image-bearing pairs then train
-        the ViT path on exactly what serving feeds it."""
+        """record_images: keep each call's images exactly as the serving
+        engine would feed them to the ViT — big frames cv2-INTER_AREA
+        downscaled to ``image_size`` (engine threshold), small frames at
+        native size (bilinear-resized identically at train time by
+        ops/image.preprocess_images)."""
         self.inner = inner
         self.record_images = record_images
         self.image_size = image_size
@@ -170,7 +171,13 @@ class RecordingBackend(Backend):
             if im.ndim == 2:
                 im = np.repeat(im[..., None], 3, axis=2)
             s = self.image_size
-            if im.shape[:2] != (s, s):
+            # mirror the serving engine's threshold exactly
+            # (engine._prep_request_images): only frames larger than
+            # 4*s^2 are cv2-INTER_AREA downscaled before upload; smaller
+            # frames (BEV, cluster tiles) reach the ViT at native size
+            # and are bilinear-resized by ops/image.preprocess_images —
+            # recording them native keeps train-time resampling identical
+            if im.shape[0] * im.shape[1] > 4 * s * s:
                 im = cv2.resize(im, (s, s), interpolation=cv2.INTER_AREA)
             out.append(im.astype(np.uint8))
         return out

@@ -222,8 +222,11 @@ class InferenceEngine:
             self.stats["decode_tokens"] += int(
                 sum(int(lengths[i]) for i in range(B_real)))
             if img_embeds is not None:
-                self.stats["image_tokens"] += int(img_embeds.shape[0]
-                                                  * img_embeds.shape[1])
+                # real ViT work only: B-padding dummy rows and per-row
+                # zero-fill never ran through the encoder
+                self.stats["image_tokens"] += (
+                    sum(len(r.images) for r in requests)
+                    * self.cfg.tokens_per_image)
         if _DEBUG:
             import sys as _sys
             import time as _time
@@ -263,12 +266,14 @@ class InferenceEngine:
 
         use_fsm = schema is not None
         fsm_trans = fsm_accept = fsm_dist = None
+        fsm_floor = 1
         max_new = max(r.max_new_tokens for r in requests)
         if use_fsm:
             fsm_trans, fsm_accept, fsm_dist, min_len = self._get_fsm(schema)
             # a schema's shortest accepting path bounds the decode budget
             # from below — never truncate mid-JSON
-            max_new = max(max_new, min_len + 32)
+            fsm_floor = min_len + 32
+            max_new = max(max_new, fsm_floor)
 
         # decode-length buckets keep the compiled-program set small
         for nb in (64, 128, 256, 512, 1024, 2048):
@@ -302,19 +307,31 @@ class InferenceEngine:
         else:
             result = self._generate_paged(
                 tok_lists, T, B, max_new, img_embeds, sub, temps,
-                use_fsm, fsm_trans, fsm_accept, fsm_dist, bias)
+                use_fsm, fsm_trans, fsm_accept, fsm_dist, bias, fsm_floor)
 
         return result, (B_real, B, T, max_new, prefix is not None,
                         img_embeds)
 
     def _generate_paged(self, tok_lists, T, B, max_new, img_embeds, rng,
                         temperature, use_fsm, fsm_trans, fsm_accept,
-                        fsm_dist, bias):
-        ids = self.tokenizer.pad_batch(tok_lists, pad_to=T)[:, :T]
+                        fsm_dist, bias, fsm_floor=1):
         pages_per_seq = min(
             self.max_pages_per_seq,
             -(-(T + max_new) // self.cfg.page_size))
         total_new = pages_per_seq * self.cfg.page_size - T
+        if total_new < fsm_floor:
+            # the page budget can't cover the schema's shortest accepting
+            # path (+margin): the FSM reachability mask in sampling.py
+            # assumes the floor holds — violating it makes `allowed` go
+            # all-False and emits DFA-illegal tokens.  Fall back to the
+            # contiguous layout, which allocates T+max_new directly.
+            ids = self.tokenizer.pad_batch(tok_lists, pad_to=T, left=True)
+            return self.vlm.generate_contig(
+                jnp.asarray(ids[:, -T:]), img_embeds, rng, t_max=T + max_new,
+                max_new_tokens=max_new, temperature=temperature,
+                use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
+                fsm_dist=fsm_dist, length_bias=bias)
+        ids = self.tokenizer.pad_batch(tok_lists, pad_to=T)[:, :T]
         max_new = max(1, min(max_new, total_new))
 
         page_lists: List[List[int]] = []
@@ -492,11 +509,11 @@ class InferenceEngine:
         flat = []
         for r in requests:
             for im in r.images:
-                # device arrays pass straight through (no host copy);
-                # grayscale -> RGB on whichever side the data lives
+                # device arrays pass straight through untouched (their
+                # grayscale->RGB expansion is device work and happens in
+                # _encode_request_images, under the device lock)
                 if isinstance(im, jax.Array):
-                    if im.ndim == 2:
-                        im = jnp.repeat(im[..., None], 3, axis=-1)
+                    pass
                 else:
                     if im.ndim == 2:
                         im = np.repeat(im[..., None], 3, axis=-1)
@@ -521,6 +538,11 @@ class InferenceEngine:
                 flat = self._prep_request_images(requests)
             # group by raw shape so each shape preprocesses as one batch
             # (shapes recur across scenes: camera frames, BEV, cluster tiles)
+            # grayscale device arrays expand to RGB here, under the lock
+            # (all device dispatch stays under DEVICE_LOCK — tunnel rule)
+            flat = [jnp.repeat(im[..., None], 3, axis=-1)
+                    if isinstance(im, jax.Array) and im.ndim == 2 else im
+                    for im in flat]
             enc = [None] * len(flat)
             by_shape: Dict[tuple, List[int]] = {}
             for idx, im in enumerate(flat):

@@ -29,9 +29,13 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-# String-value alphabet: printable ASCII minus '"' and '\' (no escape
-# sequences — the constrained model simply cannot emit them).
+# String-value alphabet: printable ASCII minus '"' and '\'.  '"'/'\'
+# enter through a JSON escape sub-automaton (\" \\ \/ \b \f \n \r \t) —
+# `chat.completions.parse` can emit any JSON string
+# (`src/agents/base_agent.py:27-34`), so captions containing quotes must
+# round-trip through constrained decoding too.
 _STRING_BYTES = [b for b in range(32, 127) if b not in (34, 92)]
+_ESCAPE_BYTES = [ord(c) for c in '"\\/bfnrt']
 _DIGITS = [ord(c) for c in "0123456789"]
 
 
@@ -150,6 +154,12 @@ class _Builder:
             nxt = self.new_state()
             for b in _STRING_BYTES:
                 self.add(cur, b, nxt)
+            # JSON escape pair (\" \\ ...) consumes one chain position:
+            # maxLength bounds logical characters, not source bytes
+            esc = self.new_state()
+            self.add(cur, 92, esc)
+            for b in _ESCAPE_BYTES:
+                self.add(esc, b, nxt)
             self.add(nxt, 34, exit_)
             cur = nxt
         # final chain state has no byte transitions: close is forced

@@ -91,6 +91,42 @@ def test_dfa_bounded_strings_terminate():
     assert walk(dfa, '{"s":"' + "x" * 48 + '"}')
 
 
+def test_dfa_string_escapes_round_trip():
+    """Captions containing '"' and '\\' must round-trip through the DFA
+    (parity: `chat.completions.parse` accepts any JSON string,
+    `src/agents/base_agent.py:27-34`)."""
+    import json
+
+    dfa = structured.compile_schema({"type": "object", "properties": {
+        "s": {"type": "string"}}})
+    val = 'sign says "STOP" near a\\b junction'
+    text = json.dumps({"s": val}, separators=(",", ":"))
+    assert walk(dfa, text)
+    assert json.loads(text)["s"] == val
+    # escape pairs count as ONE chain position: 48 escaped chars fit
+    assert walk(dfa, json.dumps({"s": '"' * 48}, separators=(",", ":")))
+    assert not walk(dfa, json.dumps({"s": '"' * 49}, separators=(",", ":")))
+    # a dangling backslash before the close quote is invalid
+    assert not walk(dfa, '{"s":"x\\"}')
+    # other JSON escapes (\n, \t) are admitted and parse
+    assert walk(dfa, '{"s":"line\\nbreak"}')
+
+
+def test_canonicalizer_preserves_quotes():
+    """Distill targets no longer rewrite '\"'->''' (round-2 VERDICT #5);
+    the canonical form must stay DFA-acceptable."""
+    import json
+
+    from msc_tpu.training.distill import canonicalize_for_dfa
+
+    spec = {"type": "object", "properties": {"s": {"type": "string"}}}
+    out = canonicalize_for_dfa(
+        spec, json.dumps({"s": 'a "quoted" word and a back\\slash'}))
+    assert json.loads(out)["s"] == 'a "quoted" word and a back\\slash'
+    dfa = structured.compile_schema(spec)
+    assert walk(dfa, out)
+
+
 def test_reference_schemas_compile():
     """The four reference structured-output schemas must all compile
     (SURVEY.md build step 2)."""
