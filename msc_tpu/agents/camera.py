@@ -45,6 +45,15 @@ class CameraAgent(BaseAgent):
 
     def process(self, images: List[np.ndarray], camera_names: List[str],
                 context: Optional[Dict] = None) -> Dict[str, Any]:
+        spec = self.prepare_call(images, camera_names, context)
+        response = self.call_llm(**spec)
+        return self.finish(response, images, camera_names)
+
+    def prepare_call(self, images: List[np.ndarray],
+                     camera_names: List[str],
+                     context: Optional[Dict] = None) -> dict:
+        """The one multi-view vision call as a spec, so the pipeline's
+        fused path can batch it with other agents' calls."""
         import json
 
         user_content: List[dict] = []
@@ -66,11 +75,13 @@ class CameraAgent(BaseAgent):
             {"role": "system", "content": _SYSTEM_PROMPT},
             {"role": "user", "content": user_content},
         ]
-        response = self.call_llm(messages, temperature=0.3,
-                                 task="camera_describe", images=images,
-                                 max_new_tokens=256)
-        response = self._append_detections(response, images, camera_names)
+        return dict(messages=messages, temperature=0.3,
+                    task="camera_describe", images=images,
+                    max_new_tokens=256)
 
+    def finish(self, response: str, images: List[np.ndarray],
+               camera_names: List[str]) -> Dict[str, Any]:
+        response = self._append_detections(response, images, camera_names)
         observations = self._split_by_camera(response, camera_names)
         return {
             "agent": self.agent_name,

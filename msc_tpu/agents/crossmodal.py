@@ -32,6 +32,11 @@ class CrossModalAgent(BaseAgent):
     """Facilitates information sharing between agents."""
 
     def facilitate_exchange(self, agent_outputs: List[Dict]) -> Dict[str, Any]:
+        response = self.call_llm(**self.prepare_call(agent_outputs))
+        return self.finish(response)
+
+    def prepare_call(self, agent_outputs: List[Dict]) -> dict:
+        """The synthesis call as a spec (fused-path seam)."""
         summaries = {out["agent"]: out.get("observations", "")
                      for out in agent_outputs}
         user = (f"Review and synthesize these agent observations:\n\n"
@@ -42,8 +47,10 @@ class CrossModalAgent(BaseAgent):
             {"role": "system", "content": _SYSTEM_PROMPT},
             {"role": "user", "content": user},
         ]
-        response = self.call_llm(messages, temperature=0.4, task="crossmodal",
-                                 max_new_tokens=128)
+        return dict(messages=messages, temperature=0.4, task="crossmodal",
+                    max_new_tokens=128)
+
+    def finish(self, response: str) -> Dict[str, Any]:
         return {
             "agent": self.agent_name,
             "modality": "cross_modal",

@@ -108,6 +108,20 @@ class LiDARAgent(BaseAgent):
     # ------------------------------------------------------------------
     def process(self, point_cloud: np.ndarray,
                 context: Optional[Dict] = None) -> Dict[str, Any]:
+        """Serial path: the three phases back to back.  The pipeline's
+        fused path calls the phases directly so the classify calls can
+        batch with OTHER agents' calls (round-2 VERDICT item 3)."""
+        state = self.front(point_cloud)
+        responses = (self.client.call_llm_batch(state["calls"])
+                     if state["calls"] else [])
+        state = self.after_classify(state, responses)
+        interp = self.call_llm(**self.interpret_call(state, context))
+        return self.finish(state, interp)
+
+    def front(self, point_cloud: np.ndarray) -> Dict[str, Any]:
+        """Phase 1: the numeric front end (steps 1-4) through cluster
+        rendering; returns a state dict whose ``calls`` are the batched
+        classify call specs (0..ceil(K/10))."""
         import os
         import sys
         import time
@@ -178,34 +192,73 @@ class LiDARAgent(BaseAgent):
             n_object = int(small["n_object"])
 
         _mark("front_end")
-        # Step 3b: classification via batched vision calls.
-        detected = self._classify_clusters(pc_np, clusters)
-        _mark("classify")
+        # Step 3b dispatch prep: batched classify call specs.
+        calls, batch_metas = self._build_classify_calls(pc_np, clusters)
+        _mark("classify_prep")
+        return {"calls": calls, "batch_metas": batch_metas,
+                "sem_bev": sem_bev, "n_ground": n_ground,
+                "n_object": n_object}
 
-        # Step 5: semantic features.
-        features = self._semantic_features(detected, n_ground, n_object)
-
-        # Step 6: structured report.
+    def after_classify(self, state: Dict[str, Any],
+                       responses: List[str]) -> Dict[str, Any]:
+        """Phase 2: consume classify responses -> detected objects,
+        semantic features (step 5), structured report (step 6)."""
+        detected: List[DetectedObject] = []
+        for batch_meta, response in zip(state["batch_metas"], responses):
+            classifications = self._parse_classifications(response, batch_meta)
+            for meta, cls in zip(batch_meta, classifications):
+                if cls["category"] != "unknown" and cls["confidence"] > 0.3:
+                    detected.append(DetectedObject(
+                        category=cls["category"],
+                        position=meta["center"],
+                        dimensions=meta["dimensions"],
+                        num_points=meta["num_points"],
+                        distance=meta["distance"],
+                        direction=meta["direction"],
+                        confidence=cls["confidence"],
+                    ))
+        features = self._semantic_features(detected, state["n_ground"],
+                                           state["n_object"])
         report = self._report(features, detected)
+        return {**state, "detected": detected, "features": features,
+                "report": report}
 
-        # Step 7: model interpretation of report + BEV (device image; the
-        # cv2 decorations are export-path cosmetics, not model input).
-        observations = self._interpret(report, sem_bev, context)
-        _mark("interpret")
-        observations = self._append_marker(observations, detected)
+    def interpret_call(self, state: Dict[str, Any],
+                       context: Optional[Dict] = None) -> dict:
+        """Phase 3 call spec: model interpretation of report + BEV
+        (step 7; device image — cv2 decorations are export cosmetics)."""
+        return self._interpret_spec(state["report"], state["sem_bev"],
+                                    context)
 
+    def finish(self, state: Dict[str, Any], interpretation: str
+               ) -> Dict[str, Any]:
+        detected = state["detected"]
+        observations = self._append_marker(interpretation, detected)
         return {
             "agent": self.agent_name,
             "modality": "lidar",
             "detected_objects": [self._to_dict(o) for o in detected],
-            "semantic_features": features,
-            "structured_report": report,
+            "semantic_features": state["features"],
+            "structured_report": state["report"],
             "observations": observations,
             "bev_metadata": {
                 "num_objects": len(detected),
-                "ground_points": n_ground,
-                "object_points": n_object,
+                "ground_points": state["n_ground"],
+                "object_points": state["n_object"],
             },
+        }
+
+    def report_stub(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """Interpretation-free lidar output for concurrent consumers (the
+        fused pipeline hands this to the cross-modal agent while the
+        interpret call is still in flight — round-2 VERDICT item 3
+        endorses this trade: cross-modal sees the structured report +
+        marker, minus the model's interpretation prose)."""
+        return {
+            "agent": self.agent_name,
+            "modality": "lidar",
+            "observations": self._append_marker(state["report"],
+                                                state["detected"]),
         }
 
     # ------------------------------------------------------------------
@@ -226,11 +279,13 @@ class LiDARAgent(BaseAgent):
             point_cluster[obj_idx[labels == c]] = i
         return {"point_cluster": point_cluster, "n_clusters": len(keep_ids)}
 
-    def _classify_clusters(self, pc_np: np.ndarray,
-                           clusters: Dict) -> List[DetectedObject]:
+    def _build_classify_calls(self, pc_np: np.ndarray, clusters: Dict):
+        """Render all clusters' multi-view grids and build the classify
+        call specs (<=10 clusters per call, parity lidar_agent.py:177).
+        Returns (calls, batch_metas)."""
         k = int(clusters["n_clusters"])
         if k == 0:
-            return []
+            return [], []
         point_cluster = clusters["point_cluster"]
 
         # per-cluster geometry (host; k is small)
@@ -260,7 +315,9 @@ class LiDARAgent(BaseAgent):
                 jnp.asarray(pts_buf), jnp.asarray(msk_buf),
                 img_size=self.cfg.cluster_img_size)
 
-        # all classify batches go out as ONE batched model call
+        # all classify batches go out together (one batched model call in
+        # the serial path; coalesced with other agents' calls in the
+        # pipeline's fused path)
         calls = []
         batch_metas = []
         for start in range(0, k, batch_size):
@@ -268,23 +325,7 @@ class LiDARAgent(BaseAgent):
             tile = tile_cluster_grids_device(grids[start:start + batch_size])
             calls.append(self._build_classify_call(tile, batch_meta))
             batch_metas.append(batch_meta)
-        responses = self.client.call_llm_batch(calls)
-
-        detected: List[DetectedObject] = []
-        for batch_meta, response in zip(batch_metas, responses):
-            classifications = self._parse_classifications(response, batch_meta)
-            for meta, cls in zip(batch_meta, classifications):
-                if cls["category"] != "unknown" and cls["confidence"] > 0.3:
-                    detected.append(DetectedObject(
-                        category=cls["category"],
-                        position=meta["center"],
-                        dimensions=meta["dimensions"],
-                        num_points=meta["num_points"],
-                        distance=meta["distance"],
-                        direction=meta["direction"],
-                        confidence=cls["confidence"],
-                    ))
-        return detected
+        return calls, batch_metas
 
     def _build_classify_call(self, tile, metas: List[Dict]) -> dict:
         lines = ["Object Cluster Details:"]
@@ -401,8 +442,8 @@ class LiDARAgent(BaseAgent):
         lines.append(f"  - Object point ratio: {sc['object_point_ratio']:.2%}")
         return "\n".join(lines)
 
-    def _interpret(self, report: str, semantic_bev: np.ndarray,
-                   context: Optional[Dict]) -> str:
+    def _interpret_spec(self, report: str, semantic_bev: np.ndarray,
+                        context: Optional[Dict]) -> dict:
         user = (f"Analyze this driving scene from LiDAR data:\n\n{report}\n\n"
                 "Provide a high-level interpretation of the scene, including:\n"
                 "1. Overall scene context (urban/highway, crowded/sparse, etc.)\n"
@@ -418,9 +459,9 @@ class LiDARAgent(BaseAgent):
                 {"type": "text", "text": user},
             ]},
         ]
-        return self.call_llm(messages, temperature=0.4,
-                             task="lidar_interpret", images=[semantic_bev],
-                             max_new_tokens=128)
+        return dict(messages=messages, temperature=0.4,
+                    task="lidar_interpret", images=[semantic_bev],
+                    max_new_tokens=128)
 
     @staticmethod
     def _append_marker(observations: str,
@@ -435,7 +476,10 @@ class LiDARAgent(BaseAgent):
             "state": "stopped",
         } for o in detected]
         marker = f"{DET_MARKER} {json.dumps(payload)}"
-        if marker.split(":")[0] in observations:
+        # dedup on an exact line-start marker (a prose mention of the
+        # marker name must not suppress the real payload line)
+        if any(line.startswith(DET_MARKER)
+               for line in observations.splitlines()):
             return observations
         return observations + "\n" + marker
 

@@ -33,15 +33,22 @@ class IterativeRefinementController:
     """Drives the suggest->edit loop until convergence."""
 
     def __init__(self, suggester: SuggesterAgent, editor: EditorAgent,
-                 max_iterations: int = 5, verbose: bool = True):
+                 max_iterations: int = 5, verbose: bool = True,
+                 fused: bool = False):
+        """fused: one suggest+edit call per iteration instead of two
+        (EditorAgent.suggest_and_refine; TPU-native call fusion — the
+        convergence protocol and iteration records are unchanged)."""
         self.suggester = suggester
         self.editor = editor
         self.max_iterations = max_iterations
         self.verbose = verbose
+        self.fused = fused
         self.iterations: List[RefinementIteration] = []
 
     def refine(self, seed_caption: str,
                transformed_content: Dict) -> Dict[str, Any]:
+        if self.fused:
+            return self._refine_fused(seed_caption, transformed_content)
         self.iterations = []
         current = seed_caption
         converged = False
@@ -72,6 +79,46 @@ class IterativeRefinementController:
             current = carry_markers(refined["refined_caption"], [current])
             record.refined_caption = current
             record.changes_made = refined["changes_made"]
+            self.iterations.append(record)
+
+        return {
+            "final_caption": current,
+            "iterations": [dataclasses.asdict(r) for r in self.iterations],
+            "converged": converged,
+            "total_iterations": len(self.iterations),
+            "convergence_iteration": len(self.iterations) if converged else None,
+        }
+
+    def _refine_fused(self, seed_caption: str,
+                      transformed_content: Dict) -> Dict[str, Any]:
+        self.iterations = []
+        current = seed_caption
+        converged = False
+
+        for iteration in range(1, self.max_iterations + 1):
+            if self.verbose:
+                print(f"--- Refinement iteration {iteration}/"
+                      f"{self.max_iterations} (fused) ---")
+            step = self.editor.suggest_and_refine(current,
+                                                  transformed_content,
+                                                  iteration)
+            record = RefinementIteration(
+                iteration=iteration,
+                suggestions=step.suggestions,
+                has_suggestions=step.has_suggestions,
+                reasoning=step.reasoning,
+                refined_caption=current,
+                changes_made=[],
+            )
+            if not step.has_suggestions or not step.caption.strip():
+                converged = True
+                self.iterations.append(record)
+                break
+            from msc_tpu.utils.markers import carry_markers
+
+            current = carry_markers(step.caption, [current])
+            record.refined_caption = current
+            record.changes_made = step.changes_made
             self.iterations.append(record)
 
         return {

@@ -78,13 +78,32 @@ class SceneGraphAgent(BaseAgent):
 
     def process(self, annotations: List[Dict],
                 context: Optional[Dict] = None) -> Dict[str, Any]:
+        spec, state = self.prepare_call(annotations, context)
+        try:
+            graph = self.call_llm(**spec)
+        except Exception as e:  # fallback graph (parity :379-421)
+            print(f"  [SceneGraph] error, using fallback: {e}")
+            graph = None
+        return self.finish(graph, state)
+
+    def prepare_call(self, annotations: List[Dict],
+                     context: Optional[Dict] = None):
+        """Host geometry + the structured scene-graph call as a spec
+        (fused-path seam).  Returns (spec, state) for ``finish``."""
         objects = self._parse_annotations(annotations)
         categorized = self._categorize(objects)
         zones = self._zones(objects)
-        graph = self._generate_graph(categorized, zones, objects,
+        spec = self._graph_call_spec(categorized, zones, objects,
                                      annotations, context)
+        return spec, {"objects": objects, "annotations": annotations}
+
+    def finish(self, graph, state) -> Dict[str, Any]:
+        """Consume the (parsed) graph — or None to use the reference's
+        hand-built fallback graph — and render observations."""
+        if graph is None:
+            graph = self._fallback_graph(len(state["annotations"]))
         summary = self._summary(graph)
-        summary = self._append_marker(summary, objects)
+        summary = self._append_marker(summary, state["objects"])
         return {
             "agent": self.agent_name,
             "modality": "scene_graph",
@@ -165,8 +184,8 @@ class SceneGraphAgent(BaseAgent):
         return zones
 
     # ------------------------------------------------------------------
-    def _generate_graph(self, categorized, zones, objects, annotations,
-                        context) -> HierarchicalSceneGraph:
+    def _graph_call_spec(self, categorized, zones, objects, annotations,
+                         context) -> dict:
         details = [{
             "id": o["id"], "category": o["category"],
             "position": o["position"], "distance": round(o["distance"], 1),
@@ -203,13 +222,14 @@ Object details:
             {"role": "system", "content": _SYSTEM_PROMPT},
             {"role": "user", "content": user},
         ]
-        try:
-            return self.call_llm(messages, temperature=0.4,
-                                 response_format=HierarchicalSceneGraph,
-                                 task="scene_graph")
-        except Exception as e:  # fallback graph (parity :379-421)
-            print(f"  [SceneGraph] error, using fallback: {e}")
-            return HierarchicalSceneGraph(
+        return dict(messages=messages, temperature=0.4,
+                    response_format=HierarchicalSceneGraph,
+                    task="scene_graph")
+
+    @staticmethod
+    def _fallback_graph(total_objects: int) -> HierarchicalSceneGraph:
+        """Hand-built "unknown" fallback (parity :379-421)."""
+        return HierarchicalSceneGraph(
                 scene_summary="Error generating scene graph",
                 environment=EnvironmentContext(
                     lighting="unknown", weather="unknown",
@@ -229,7 +249,7 @@ Object details:
                     barriers=[], traffic_cones=[], construction=[], other=[]),
                 spatial_zones=[],
                 safety_critical_elements=["Scene graph generation failed"],
-                total_objects=len(annotations),
+                total_objects=total_objects,
             )
 
     # ------------------------------------------------------------------

@@ -194,3 +194,27 @@ class RefinedFeaturesResponse(BaseModel):
     caption: str = Field(description="The refined caption text",
                          json_schema_extra={"maxLength": 1024})
     changes_made: List[str] = Field(description="List of key changes applied")
+
+
+class RefineStepResponse(BaseModel):
+    """Fused suggest+edit refinement step (TPU-native call fusion, no
+    reference counterpart — the reference spends two serialized HTTPS
+    calls per iteration, `src/agents/refinement/suggester_agent.py:21` +
+    `editor_agent.py:17`; on-TPU both share the long grounding prefill,
+    so one constrained decode emits the critique AND the rewrite).
+
+    Field order is decode order: the model first commits to
+    ``has_suggestions``; when false it emits an empty ``caption`` (the
+    controller keeps the previous caption on convergence), so the
+    converged step costs only a few tokens."""
+    has_suggestions: bool = Field(
+        description="True if there are meaningful suggestions, False if features are complete")
+    suggestions: List[str] = Field(
+        description="List of specific improvement suggestions")
+    reasoning: str = Field(
+        description="Brief explanation of the suggestions or why no suggestions are needed",
+        json_schema_extra={"maxLength": 160})
+    caption: str = Field(
+        description="The refined caption text (empty when has_suggestions is false)",
+        json_schema_extra={"maxLength": 1024})
+    changes_made: List[str] = Field(description="List of key changes applied")

@@ -160,6 +160,13 @@ class ModelConfig:
     # Checkpoint directory for the vlm backend (utils/checkpoint.py format);
     # empty = random init.  Env override: MSC_VLM_CKPT.
     vlm_ckpt: str = ""
+    # Call fusion (round-2 VERDICT item 3): batch the independent Layer-1
+    # calls (camera + cluster-classify + scene-graph, then
+    # lidar-interpret + cross-modal) and fuse each refinement iteration's
+    # suggest+edit into one constrained call — ~12 -> ~8 engine
+    # calls/scene with unchanged result-dict contract.  The serial path
+    # (False) keeps the reference's exact per-call sequencing.
+    fused_calls: bool = True
 
 
 @dataclass
@@ -229,7 +236,7 @@ class Config:
             NUSCENES_DATAROOT, NUSCENES_VERSION, MSC_USE_MOCK,
             MSC_BACKEND (vlm|analytic|fake), MSC_MESH_DATA, MSC_MESH_MODEL,
             MSC_TEST_MODE, MSC_NUM_TEST_SCENES, MSC_OUTPUT_DIR, MSC_MQA_CSV,
-            MSC_TOKENIZER (byte|bpe)
+            MSC_TOKENIZER (byte|bpe), MSC_FUSED_CALLS (0|1)
         """
         cfg = cls()
         env = os.environ
@@ -247,6 +254,9 @@ class Config:
             cfg.model.backend.kind = env["MSC_BACKEND"]
         if env.get("MSC_VLM_CKPT"):
             cfg.model.vlm_ckpt = env["MSC_VLM_CKPT"]
+        if env.get("MSC_FUSED_CALLS"):
+            cfg.model.fused_calls = env["MSC_FUSED_CALLS"].lower() in (
+                "1", "true", "yes")
         if env.get("MSC_MESH_DATA"):
             cfg.model.mesh.data = int(env["MSC_MESH_DATA"])
         if env.get("MSC_MESH_MODEL"):

@@ -79,7 +79,8 @@ class SemanticCaptioningPipeline:
         self.suggester = SuggesterAgent(self.client, cfg.small_model, "SuggesterAgent")
         self.editor = EditorAgent(self.client, cfg.small_model, "EditorAgent")
         self.refinement_system = IterativeRefinementController(
-            self.suggester, self.editor, max_iterations=3, verbose=False)
+            self.suggester, self.editor, max_iterations=3, verbose=False,
+            fused=getattr(cfg, "fused_calls", False))
         # Layer 4: caption generation
         self.caption_generator = CaptionGenerator(self.client, cfg.small_model,
                                                   "CaptionGenerator")
@@ -104,13 +105,29 @@ class SemanticCaptioningPipeline:
 
         # ---- Layer 1: content transformation with modality dropout ----
         self._log("Layer 1: Content Transformation...")
+        if modality_config.use_cameras and images and modality_config.camera_indices:
+            images = [images[i] for i in modality_config.camera_indices]
+            camera_names = [camera_names[i]
+                            for i in modality_config.camera_indices]
+
+        layer1_outputs = None
+        if (getattr(self.config, "fused_calls", False)
+                and not self.parallel_l1):
+            try:
+                layer1_outputs = self._layer1_fused(
+                    images, camera_names, point_cloud, annotations,
+                    modality_config)
+            except Exception as e:
+                self._log(f"  fused Layer 1 failed ({e}); serial fallback")
+                layer1_outputs = None
+        if layer1_outputs is not None:
+            results["pipeline_stages"]["layer1_content_transformation"] = \
+                layer1_outputs
+            return self._layers_2_to_4(results, layer1_outputs)
+
         tasks = []  # (name, thunk) in the reference's fixed output order
 
         if modality_config.use_cameras and images:
-            if modality_config.camera_indices:
-                images = [images[i] for i in modality_config.camera_indices]
-                camera_names = [camera_names[i]
-                                for i in modality_config.camera_indices]
             tasks.append(("layer1.camera",
                           lambda: self.camera_agent.process(images,
                                                             camera_names)))
@@ -148,7 +165,77 @@ class SemanticCaptioningPipeline:
             self._log("  CrossModalAgent coordinated information")
 
         results["pipeline_stages"]["layer1_content_transformation"] = layer1_outputs
+        return self._layers_2_to_4(results, layer1_outputs)
 
+    def _layer1_fused(self, images, camera_names, point_cloud, annotations,
+                      modality_config) -> List[Dict]:
+        """Layer 1 with fused dispatch (round-2 VERDICT item 3): batch 1
+        coalesces the camera describe + cluster classify + scene-graph
+        calls (they are mutually independent); batch 2 coalesces the
+        lidar interpretation with the cross-modal synthesis (cross-modal
+        reads the lidar structured report + marker, minus the
+        interpretation prose that is still decoding — the trade the
+        VERDICT endorses).  Output order and dict shapes are identical to
+        the serial path: camera, lidar, scene_graph, cross_modal."""
+        use_cam = bool(modality_config.use_cameras and images)
+        use_lidar = bool(modality_config.use_lidar
+                         and point_cloud is not None)
+        use_ann = bool(modality_config.use_annotations and annotations)
+
+        cam_out = lidar_out = sg_out = cm_out = None
+        lidar_state = sg_state = None
+        with self.timer.stage("layer1.batch1"):
+            specs: List[dict] = []
+            if use_cam:
+                specs.append(self.camera_agent.prepare_call(images,
+                                                            camera_names))
+            if use_lidar:
+                lidar_state = self.lidar_agent.front(point_cloud)
+                specs.extend(lidar_state["calls"])
+            if use_ann:
+                sg_spec, sg_state = self.scene_graph_agent.prepare_call(
+                    annotations)
+                specs.append(sg_spec)
+            responses = self.client.call_llm_batch(specs) if specs else []
+            i = 0
+            if use_cam:
+                cam_out = self.camera_agent.finish(responses[i], images,
+                                                   camera_names)
+                i += 1
+            if use_lidar:
+                n = len(lidar_state["calls"])
+                lidar_state = self.lidar_agent.after_classify(
+                    lidar_state, responses[i: i + n])
+                i += n
+            if use_ann:
+                sg_out = self.scene_graph_agent.finish(responses[i], sg_state)
+
+        n_mod = use_cam + use_lidar + use_ann
+        with self.timer.stage("layer1.batch2"):
+            specs2: List[dict] = []
+            if use_lidar:
+                specs2.append(self.lidar_agent.interpret_call(lidar_state))
+            if n_mod > 1:
+                pre = [o for o in (
+                    cam_out,
+                    self.lidar_agent.report_stub(lidar_state)
+                    if use_lidar else None,
+                    sg_out) if o is not None]
+                specs2.append(self.cross_modal_agent.prepare_call(pre))
+            r2 = self.client.call_llm_batch(specs2) if specs2 else []
+            j = 0
+            if use_lidar:
+                lidar_out = self.lidar_agent.finish(lidar_state, r2[j])
+                j += 1
+            if n_mod > 1:
+                cm_out = self.cross_modal_agent.finish(r2[j])
+                self._log("  CrossModalAgent coordinated information")
+
+        return [o for o in (cam_out, lidar_out, sg_out, cm_out)
+                if o is not None]
+
+    def _layers_2_to_4(self, results: Dict[str, Any],
+                       layer1_outputs: List[Dict]) -> Dict[str, Any]:
         # ---- Layer 2: seed caption ----
         self._log("Layer 2: Seed Features Generation...")
         transformed_content = {

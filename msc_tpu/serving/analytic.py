@@ -168,10 +168,12 @@ def classify_cluster_geometry(dims, num_points: int) -> Dict[str, Any]:
 # MQA answering from a structured caption
 # ---------------------------------------------------------------------------
 
-def answer_mqa_from_caption(question: str, caption: Dict) -> str:
-    """Count/existence answering over caption['objects'], emitting the
-    nuScenes-MQA XML contract (`src/agents/structure_caption/
-    caption_agent.py:127-148`)."""
+def _question_matches(question: str, caption: Dict):
+    """Shared question-vs-caption matching core: parse the question's
+    <obj>/<cam> tags and scan caption['objects'] for matching entries.
+    Returns (target_obj, target_cam, count, matches) where matches is
+    [(distance, direction, (x, y) or None), ...] over ALL objects of the
+    asked category (count respects the <cam> restriction)."""
     objs = re.findall(r"<obj>(.*?)</obj>", question, re.IGNORECASE)
     cams = re.findall(r"<cam>(.*?)</cam>", question, re.IGNORECASE)
     target_obj = objs[0].strip() if objs else None
@@ -200,6 +202,70 @@ def answer_mqa_from_caption(question: str, caption: Dict) -> str:
             if target_cam is not None and direction != target_cam:
                 continue
             count += 1
+    return target_obj, target_cam, count, matches
+
+
+def question_facts(question: str, caption: Dict) -> Optional[str]:
+    """Question-adjacent fact line for the MQA prompt (round-2 VERDICT
+    item 1: "question-adjacent tally placement").
+
+    Deterministic retrieval from the caption the model already sees: the
+    asked category's count (scene-wide, and per-view when the question
+    names a <cam>) plus the nearest match's range/view/coordinates.  The
+    numbers are computed by the SAME matching core the analytic teacher
+    answers with (`_question_matches`), so distillation reduces the hard
+    count_scene/count_camera families (measured 46%/59% when the model
+    had to pick the entry out of an 11-class tally line) to copying the
+    adjacent fact.  Returns None for questions without an <obj> tag.
+
+    Fact source: the marker lines in caption['full_caption'] when present
+    — they are HOST-injected in every backend (utils/markers.py), whereas
+    caption['objects'] is model-generated under the vlm backend and may
+    be lossy (32-item DFA cap, model errors).  The analytic teacher's
+    objects are built from the same markers (_structure_caption), so
+    facts and teacher answers agree exactly at distillation time."""
+    objs = extract_markers(str(caption.get("full_caption", "")))
+    if objs:
+        pseudo = []
+        for o in objs:
+            direction = str(o.get("direction", "front")).replace("_", " ")
+            pos_str = f"{direction}, {float(o.get('distance', 0.0)):.1f}m"
+            xyz = o.get("position")
+            if isinstance(xyz, (list, tuple)) and len(xyz) >= 2:
+                pos_str += f", at ({float(xyz[0]):.1f}, {float(xyz[1]):.1f})"
+            pseudo.append({"category": str(o.get("category", "unknown")),
+                           "position": pos_str})
+        caption = {"objects": pseudo}
+    target_obj, target_cam, count, matches = _question_matches(
+        question, caption)
+    if target_obj is None:
+        return None
+    parts = []
+    if target_cam is not None:
+        parts.append(f"{count} {target_obj} in {target_cam}")
+        parts.append(f"{len(matches)} {target_obj} in the whole scene")
+    else:
+        parts.append(f"{count} {target_obj} in the scene")
+    nearest = min(matches, key=lambda t: t[0], default=None)
+    if nearest is not None:
+        d, view, xy = nearest
+        near = ["nearest"]
+        if d < 1e9:
+            near.append(f"{d:.1f}m away")
+        if view:
+            near.append(f"in {view}")
+        if xy is not None:
+            near.append(f"at ({xy[0]:.1f}, {xy[1]:.1f})")
+        parts.append(" ".join(near))
+    return "Counts for this question: " + "; ".join(parts) + "."
+
+
+def answer_mqa_from_caption(question: str, caption: Dict) -> str:
+    """Count/existence answering over caption['objects'], emitting the
+    nuScenes-MQA XML contract (`src/agents/structure_caption/
+    caption_agent.py:127-148`)."""
+    target_obj, target_cam, count, matches = _question_matches(
+        question, caption)
 
     distances = [d for d, _dir, _xy in matches if d < 1e9]
     obj_word = target_obj if target_obj else "object"
@@ -271,6 +337,8 @@ class AnalyticBackend(Backend):
             return self._suggest(text)
         if task == "edit":
             return self._edit(text)
+        if task == "refine_step":
+            return self._refine_step(text)
         if task == "structure_caption":
             return self._structure_caption(text)
         if task == "mqa_answer":
@@ -526,33 +594,70 @@ class AnalyticBackend(Backend):
                          "and directions are explicit.",
         })
 
+    @staticmethod
+    def _enrich_caption(caption: str, objects: List[dict]) -> str:
+        """The editor's deterministic improvement: explicit per-category
+        and per-view count lines appended to the prose (the refined
+        caption should let a reader answer count questions without
+        re-deriving geometry)."""
+        if not objects:
+            return caption
+        counts: Dict[str, int] = {}
+        by_dir: Dict[str, Dict[str, int]] = {}
+        for o in objects:
+            c = str(o.get("category", "object"))
+            counts[c] = counts.get(c, 0) + 1
+            d = str(o.get("direction", "front")).replace("_", " ")
+            by_dir.setdefault(d, {})
+            by_dir[d][c] = by_dir[d].get(c, 0) + 1
+        summary = ", ".join(f"{v} {k}{'s' if v != 1 else ''}"
+                            for k, v in sorted(counts.items()))
+        caption = caption + f"\nIn total the scene contains {summary}."
+        dir_lines = "; ".join(
+            f"{d}: " + ", ".join(f"{v} {k}{'s' if v != 1 else ''}"
+                                 for k, v in sorted(cs.items()))
+            for d, cs in sorted(by_dir.items()))
+        return caption + f"\nBy view - {dir_lines}."
+
     def _edit(self, text: str) -> str:
         m = re.search(r"Current Caption:\s*\n(.*?)\n\s*Suggestions:", text,
                       re.DOTALL)
         caption = m.group(1).strip() if m else text[:500]
-        objects = extract_markers(text)
-        if objects:
-            counts: Dict[str, int] = {}
-            by_dir: Dict[str, Dict[str, int]] = {}
-            for o in objects:
-                c = str(o.get("category", "object"))
-                counts[c] = counts.get(c, 0) + 1
-                d = str(o.get("direction", "front")).replace("_", " ")
-                by_dir.setdefault(d, {})
-                by_dir[d][c] = by_dir[d].get(c, 0) + 1
-            summary = ", ".join(f"{v} {k}{'s' if v != 1 else ''}"
-                                for k, v in sorted(counts.items()))
-            caption = caption + f"\nIn total the scene contains {summary}."
-            # per-direction breakdown: the refined caption should let a
-            # reader answer per-camera count questions without re-deriving
-            # geometry (the reference's prose captions carry positional
-            # counts the same way)
-            dir_lines = "; ".join(
-                f"{d}: " + ", ".join(f"{v} {k}{'s' if v != 1 else ''}"
-                                     for k, v in sorted(cs.items()))
-                for d, cs in sorted(by_dir.items()))
-            caption = caption + f"\nBy view - {dir_lines}."
+        caption = self._enrich_caption(caption, extract_markers(text))
         return json.dumps({
+            "caption": caption,
+            "changes_made": ["Added explicit per-category object counts.",
+                             "Added per-camera-view count breakdown."],
+        })
+
+    def _refine_step(self, text: str) -> str:
+        """Fused suggest+edit (RefineStepResponse): iteration 1 critiques
+        and applies the count-grounding edits in one response; later
+        iterations converge with an empty caption (the controller keeps
+        the previous one)."""
+        it = re.search(r"Iteration\s+(\d+)", text)
+        iteration = int(it.group(1)) if it else 1
+        if iteration > 1:
+            return json.dumps({
+                "has_suggestions": False,
+                "suggestions": [],
+                "reasoning": "The caption is comprehensive; counts, "
+                             "distances and directions are explicit.",
+                "caption": "",
+                "changes_made": [],
+            })
+        m = re.search(r"Current Caption:\s*\n(.*?)\n\s*To refine", text,
+                      re.DOTALL)
+        caption = m.group(1).strip() if m else text[:500]
+        caption = self._enrich_caption(caption, extract_markers(text))
+        return json.dumps({
+            "has_suggestions": True,
+            "suggestions": [
+                "State explicit counts for every object category.",
+                "Give distances and directions for all nearby objects.",
+            ],
+            "reasoning": "First pass: quantitative grounding can be "
+                         "tightened.",
             "caption": caption,
             "changes_made": ["Added explicit per-category object counts.",
                              "Added per-camera-view count breakdown."],

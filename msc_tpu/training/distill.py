@@ -55,9 +55,10 @@ def canonicalize_for_dfa(schema, text: str) -> str:
                     for v in items[: int(node.get("maxItems", 6))]]
         if t == "string":
             s = "" if val is None else str(val)
-            s = s.replace('"', "'").replace("\\", "/")
             # keep the DFA's printable-ASCII alphabet (whitespace controls
-            # become spaces so words don't glue together)
+            # become spaces so words don't glue together); '"' and '\'
+            # survive — the DFA's escape sub-automaton admits them, one
+            # chain position per logical character
             s = "".join(c if 32 <= ord(c) < 127 else " " for c in s)
             return s[: int(node.get("maxLength", 48))].strip()
         if t == "integer":
@@ -125,8 +126,12 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
         # full-only — without it the model only ever sees captions whose
         # markers come from annotations (OBJECTS_JSON) and cannot answer
         # from DETECTIONS_JSON/CAMERAS_JSON-only captions (measured:
-        # lidar_only/all_cams held-out accuracy 19-20% vs full 61%)
+        # lidar_only/all_cams held-out accuracy 19-20% vs full 61%).
+        # lidar_only is double-weighted: DETECTIONS_JSON-only captions
+        # were the weakest held-out bucket (41.9% vs 65-69% elsewhere,
+        # RESULTS.md) and uniform rotation gives them only 1/5 coverage.
         rotation = list(all_configs.items())
+        rotation += [(n, c) for n, c in rotation if n == "lidar_only"]
         modalities = None
     else:
         modalities = ([(n, all_configs[n]) for n in config_names]

@@ -216,6 +216,53 @@ def test_loc_and_which_camera_answers():
     assert "<dst>12.3m</dst>" in dst
 
 
+def test_question_facts_line():
+    """question_facts retrieves the asked category's counts — from the
+    host-injected markers in full_caption when present (authoritative
+    under the vlm backend), else from caption['objects'] — and
+    build_mqa_messages places it next to the question (round-2 VERDICT
+    item 1: question-adjacent tally)."""
+    import json as _json
+
+    from msc_tpu.agents.caption import build_mqa_messages
+    from msc_tpu.serving.analytic import (OBJ_MARKER, answer_mqa_from_caption,
+                                          question_facts)
+
+    markers = [
+        {"category": "car", "direction": "front", "distance": 12.3,
+         "position": [12.0, 2.5], "state": "stopped"},
+        {"category": "car", "direction": "back", "distance": 30.0,
+         "position": [-29.0, -7.0], "state": "stopped"},
+        {"category": "adult pedestrian", "direction": "front left",
+         "distance": 8.0, "position": [6.0, 5.0], "state": "moving"},
+    ]
+    caption = {"objects": [],  # model-lossy: facts must NOT come from here
+               "full_caption": f"Scene.\n{OBJ_MARKER} {_json.dumps(markers)}"}
+    f = question_facts("How many <obj>cars</obj> are in the scene?", caption)
+    assert "2 cars in the scene" in f
+    f = question_facts("How many <obj>cars</obj> are in <cam>front</cam>?",
+                       caption)
+    assert "1 cars in front" in f and "2 cars in the whole scene" in f
+    f = question_facts("How many <obj>buses</obj> are in the scene?", caption)
+    assert "0 buses in the scene" in f
+    assert question_facts("What is the weather?", caption) is None
+
+    msgs = build_mqa_messages("How many <obj>cars</obj> are in the scene?",
+                              caption)
+    user = msgs[1]["content"]
+    assert "Counts for this question: 2 cars in the scene" in user
+    assert user.index("Question:") < user.index("Counts for this question")
+
+    # the analytic teacher's answer agrees with the facts line when the
+    # caption objects come from the same markers (distillation-time state)
+    objcap = {"objects": [
+        {"category": "car", "position": "front, 12.3m, at (12.0, 2.5)"},
+        {"category": "car", "position": "back, 30.0m, at (-29.0, -7.0)"}]}
+    ans = answer_mqa_from_caption(
+        "How many <obj>cars</obj> are in the scene?", objcap)
+    assert "<cnt>2</cnt>" in ans
+
+
 def test_tag_content_accuracy_scoring():
     """The evaluator's tag-content extension scores cam/dst/loc content
     (with tolerance), not just <target> blocks."""
