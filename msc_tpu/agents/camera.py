@@ -80,8 +80,13 @@ class CameraAgent(BaseAgent):
                     max_new_tokens=256)
 
     def finish(self, response: str, images: List[np.ndarray],
-               camera_names: List[str]) -> Dict[str, Any]:
-        response = self._append_detections(response, images, camera_names)
+               camera_names: List[str],
+               detections: Optional[List[dict]] = None) -> Dict[str, Any]:
+        """detections: precomputed ``detect()`` output — the fused
+        pipeline computes it on the host WHILE the batched model call
+        decodes on device (async overlap, round-2 VERDICT item 8)."""
+        response = self._append_detections(response, images, camera_names,
+                                           detections)
         observations = self._split_by_camera(response, camera_names)
         return {
             "agent": self.agent_name,
@@ -92,8 +97,24 @@ class CameraAgent(BaseAgent):
         }
 
     @staticmethod
-    def _append_detections(response: str, images: List[np.ndarray],
-                           camera_names: List[str]) -> str:
+    def detect(images: List[np.ndarray],
+               camera_names: List[str]) -> List[dict]:
+        """Pure-host pixel detection over all frames (no model call)."""
+        from msc_tpu.serving.analytic import _detect_mock_objects
+
+        detections = []
+        for i, name in enumerate(camera_names):
+            if i >= len(images):
+                break
+            direction = name.lower().removeprefix("cam_").replace("_", " ")
+            for d in _detect_mock_objects(images[i]):
+                detections.append({**d, "direction": direction})
+        return detections
+
+    @classmethod
+    def _append_detections(cls, response: str, images: List[np.ndarray],
+                           camera_names: List[str],
+                           detections: Optional[List[dict]] = None) -> str:
         """Host-append a ``CAMERAS_JSON`` marker from the pixel detector —
         the camera data plane's numeric front end, mirroring the lidar
         agent's clustering + host-appended DETECTIONS_JSON design: the
@@ -108,9 +129,7 @@ class CameraAgent(BaseAgent):
         """
         import json
 
-        from msc_tpu.serving.analytic import (
-            _detect_mock_objects, CAM_MARKER,
-        )
+        from msc_tpu.serving.analytic import CAM_MARKER
 
         if CAM_MARKER in response:
             # keep a backend-emitted marker only if its payload parses
@@ -127,13 +146,8 @@ class CameraAgent(BaseAgent):
             response = "\n".join(
                 l for l in response.splitlines()
                 if not l.strip().startswith(CAM_MARKER)).rstrip()
-        detections = []
-        for i, name in enumerate(camera_names):
-            if i >= len(images):
-                break
-            direction = name.lower().removeprefix("cam_").replace("_", " ")
-            for d in _detect_mock_objects(images[i]):
-                detections.append({**d, "direction": direction})
+        if detections is None:
+            detections = cls.detect(images, camera_names)
         if not detections:
             return response
         return response + f"\n{CAM_MARKER} {json.dumps(detections)}"

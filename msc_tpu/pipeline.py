@@ -196,11 +196,17 @@ class SemanticCaptioningPipeline:
                 sg_spec, sg_state = self.scene_graph_agent.prepare_call(
                     annotations)
                 specs.append(sg_spec)
-            responses = self.client.call_llm_batch(specs) if specs else []
+            # async dispatch: the camera pixel detector (pure host work)
+            # runs WHILE the batched call decodes on device
+            fut = (self.client.call_llm_batch_async(specs) if specs
+                   else None)
+            cam_dets = (self.camera_agent.detect(images, camera_names)
+                        if use_cam else None)
+            responses = fut.result() if fut is not None else []
             i = 0
             if use_cam:
                 cam_out = self.camera_agent.finish(responses[i], images,
-                                                   camera_names)
+                                                   camera_names, cam_dets)
                 i += 1
             if use_lidar:
                 n = len(lidar_state["calls"])

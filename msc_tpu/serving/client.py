@@ -79,6 +79,20 @@ class ChatClient:
                 continue
         raise RuntimeError(f"LLM call failed after {max_retries} retries.")
 
+    def call_llm_batch_async(self, calls: List[dict]):
+        """Async batched seam: returns a Future resolving to
+        ``call_llm_batch(calls)``.  Dispatch happens on the client's
+        single worker thread — device work still serializes through the
+        engine's DEVICE_LOCK (one-TPU-client rule), but the CALLER's host
+        work (pixel detection, geometry, prompt building for other
+        agents) overlaps the device decode (round-2 VERDICT item 8)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not hasattr(self, "_async_pool"):
+            self._async_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="msc-client-async")
+        return self._async_pool.submit(self.call_llm_batch, calls)
+
     def call_llm_batch(self, calls: List[dict]) -> List[Any]:
         """Batched seam: each element is a kwargs dict for call_llm.
         Groups by response_format so the VLM backend runs homogeneous
