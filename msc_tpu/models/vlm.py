@@ -108,6 +108,7 @@ class VLM:
                  fsm_trans: Optional[jax.Array] = None,
                  fsm_accept: Optional[jax.Array] = None,
                  fsm_dist: Optional[jax.Array] = None,
+                 fsm_start: Optional[jax.Array] = None,
                  length_bias: float = 0.0) -> Tuple[GenerateResult, dec.KVCache]:
         """Prefill + autoregressive decode.
 
@@ -121,7 +122,7 @@ class VLM:
         temps = _as_temps(temperature, ids.shape[0])
         return self._generate_fn(
             self.params, ids, img_embeds, cache, rng, temps,
-            fsm_trans, fsm_accept, fsm_dist,
+            fsm_trans, fsm_accept, fsm_dist, fsm_start,
             max_new_tokens=max_new_tokens,
             use_fsm=use_fsm, length_bias=length_bias)
 
@@ -133,6 +134,7 @@ class VLM:
                         fsm_trans: Optional[jax.Array] = None,
                         fsm_accept: Optional[jax.Array] = None,
                         fsm_dist: Optional[jax.Array] = None,
+                        fsm_start: Optional[jax.Array] = None,
                         length_bias: float = 0.0) -> GenerateResult:
         """Prefill + decode on the contiguous fast path.
 
@@ -141,7 +143,7 @@ class VLM:
         temps = _as_temps(temperature, ids.shape[0])
         return self._generate_contig_fn(
             self.params, ids, img_embeds, rng, temps,
-            fsm_trans, fsm_accept, fsm_dist,
+            fsm_trans, fsm_accept, fsm_dist, fsm_start,
             t_max=t_max, max_new_tokens=max_new_tokens,
             use_fsm=use_fsm, length_bias=length_bias)
 
@@ -160,7 +162,7 @@ class VLM:
                         rng: jax.Array, prefix_len: int,
                         max_new_tokens: int = 128, temperature=0.0,
                         use_fsm: bool = False, fsm_trans=None,
-                        fsm_accept=None, fsm_dist=None,
+                        fsm_accept=None, fsm_dist=None, fsm_start=None,
                         length_bias: float = 0.0):
         """Suffix-only prefill over shared prefix pages + paged decode.
 
@@ -171,7 +173,7 @@ class VLM:
         temps = _as_temps(temperature, ids_suffix.shape[0])
         return self._generate_prefix_fn(
             self.params, ids_suffix, cache, rng, temps,
-            fsm_trans, fsm_accept, fsm_dist,
+            fsm_trans, fsm_accept, fsm_dist, fsm_start,
             prefix_len=prefix_len, max_new_tokens=max_new_tokens,
             use_fsm=use_fsm, length_bias=length_bias)
 
@@ -187,7 +189,7 @@ def _as_temps(temperature, batch: int) -> jax.Array:
 def _generate_contig_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
                           img_embeds: Optional[jax.Array], rng: jax.Array,
                           temperature: jax.Array,
-                          fsm_trans, fsm_accept, fsm_dist,
+                          fsm_trans, fsm_accept, fsm_dist, fsm_start,
                           *, t_max: int, max_new_tokens: int,
                           use_fsm: bool,
                           length_bias: float, seq_mesh=None) -> GenerateResult:
@@ -199,7 +201,8 @@ def _generate_contig_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
                                        PAD_ID, IMG_ID, seq_mesh=seq_mesh)
 
     out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
-    fsm_state = jnp.zeros((B,), jnp.int32)
+    fsm_state = (jnp.zeros((B,), jnp.int32) if fsm_start is None
+                 else jnp.asarray(fsm_start, jnp.int32))
     done = jnp.zeros((B,), bool)
 
     def cond(state):
@@ -230,7 +233,7 @@ def _generate_contig_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
 def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
                    img_embeds: Optional[jax.Array], cache: dec.KVCache,
                    rng: jax.Array, temperature: jax.Array,
-                   fsm_trans, fsm_accept, fsm_dist,
+                   fsm_trans, fsm_accept, fsm_dist, fsm_start,
                    *, max_new_tokens: int,
                    use_fsm: bool, length_bias: float,
                    use_pallas: bool = False):
@@ -242,7 +245,8 @@ def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
                                 PAD_ID, IMG_ID)
 
     out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
-    fsm_state = jnp.zeros((B,), jnp.int32)
+    fsm_state = (jnp.zeros((B,), jnp.int32) if fsm_start is None
+                 else jnp.asarray(fsm_start, jnp.int32))
     done = jnp.zeros((B,), bool)
 
     def cond(state):
@@ -276,7 +280,7 @@ def _generate_impl(cfg: VLMConfig, params: Dict, ids: jax.Array,
 def _generate_prefix_impl(cfg: VLMConfig, params: Dict, ids_suffix: jax.Array,
                           cache: dec.KVCache, rng: jax.Array,
                           temperature: jax.Array,
-                          fsm_trans, fsm_accept, fsm_dist,
+                          fsm_trans, fsm_accept, fsm_dist, fsm_start,
                           *, prefix_len: int, max_new_tokens: int,
                           use_fsm: bool, length_bias: float,
                           use_pallas: bool = False):
@@ -289,7 +293,8 @@ def _generate_prefix_impl(cfg: VLMConfig, params: Dict, ids_suffix: jax.Array,
                                        cache, prefix_len, PAD_ID, IMG_ID)
 
     out = jnp.full((B, max_new_tokens), PAD_ID, jnp.int32)
-    fsm_state = jnp.zeros((B,), jnp.int32)
+    fsm_state = (jnp.zeros((B,), jnp.int32) if fsm_start is None
+                 else jnp.asarray(fsm_start, jnp.int32))
     done = jnp.zeros((B,), bool)
 
     def cond(state):

@@ -82,15 +82,17 @@ class ContinuousBatcher(Backend):
                     break
                 batch.append(nxt)
 
-            # group by (schema, decode budget): mixing budgets makes the
-            # whole coalesced batch decode to the largest budget
-            groups = {}
-            for c, f in batch:
-                key = (id(c.get("response_format")), c.get("max_new_tokens"))
-                groups.setdefault(key, []).append((c, f))
-            for items in groups.values():
-                calls = [c for c, _ in items]
-                futs = [f for _, f in items]
+            # group into engine batches: one bucketed decode budget and at
+            # most one schema per batch, free-text calls merged into the
+            # schema batch (heterogeneous constrained batching — see
+            # client.group_mixed_calls)
+            from msc_tpu.serving.client import group_mixed_calls
+
+            all_calls = [c for c, _ in batch]
+            all_futs = [f for _, f in batch]
+            for idxs in group_mixed_calls(all_calls):
+                calls = [all_calls[i] for i in idxs]
+                futs = [all_futs[i] for i in idxs]
                 try:
                     results = self.inner.complete_batch(calls)
                     for f, r in zip(futs, results):

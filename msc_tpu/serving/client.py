@@ -214,6 +214,49 @@ class RecordingBackend(Backend):
         return out
 
 
+def _decode_bucket(n: Optional[int], default: int = 256) -> int:
+    """Mirror of the engine's decode-length bucketing — grouping by the
+    BUCKETED budget lets calls with different raw budgets (e.g. 192 and
+    256) share one engine batch."""
+    n = n or default
+    for b in (64, 128, 256, 512, 1024, 2048):
+        if n <= b:
+            return b
+    return 2048
+
+
+def group_mixed_calls(calls: List[dict], default_max_new: int = 256
+                      ) -> List[List[int]]:
+    """Group call indices into engine batches: one bucketed decode
+    budget per batch, at most one distinct schema per batch, free-text
+    calls merged into the (single) schema batch of their bucket — the
+    engine's permissive FSM state decodes them unconstrained inside the
+    constrained batch (heterogeneous constrained batching)."""
+    by_budget: Dict[int, List[int]] = {}
+    for i, c in enumerate(calls):
+        by_budget.setdefault(
+            _decode_bucket(c.get("max_new_tokens"), default_max_new),
+            []).append(i)
+    batches: List[List[int]] = []
+    for idxs in by_budget.values():
+        by_schema: Dict[Any, List[int]] = {}
+        free: List[int] = []
+        for i in idxs:
+            rf = calls[i].get("response_format")
+            if rf is None:
+                free.append(i)
+            else:
+                by_schema.setdefault(id(rf), []).append(i)
+        schema_groups = list(by_schema.values())
+        if len(schema_groups) == 1 and free:
+            schema_groups[0].extend(free)   # mixed batch: one schema + free
+            free = []
+        batches.extend(schema_groups)
+        if free:
+            batches.append(free)
+    return batches
+
+
 class VLMBackend(Backend):
     """On-TPU VLM backend."""
 
@@ -231,13 +274,11 @@ class VLMBackend(Backend):
     def complete_batch(self, calls: List[dict]) -> List[str]:
         from msc_tpu.serving.engine import Request
 
-        # group by schema: the engine runs homogeneous constrained batches
+        # heterogeneous batching: each engine batch holds one bucketed
+        # decode budget and at most one schema; free-text calls ride the
+        # schema batch via the FSM's permissive state (group_mixed_calls)
         results: List[str] = [None] * len(calls)  # type: ignore[list-item]
-        groups: Dict[Any, List[int]] = {}
-        for i, c in enumerate(calls):
-            key = (id(c.get("response_format")), c.get("max_new_tokens"))
-            groups.setdefault(key, []).append(i)
-        for idxs in groups.values():
+        for idxs in group_mixed_calls(calls, self.max_new_tokens):
             reqs = [Request(
                 messages=calls[i]["messages"],
                 temperature=calls[i].get("temperature", 0.0),

@@ -188,9 +188,12 @@ class InferenceEngine:
         forgone overlap is negligible."""
         if not requests:
             return []
-        schema = requests[0].schema
-        assert all(r.schema is schema for r in requests), \
-            "generate_batch requires a homogeneous schema"
+        distinct = {id(r.schema): r.schema for r in requests
+                    if r.schema is not None}
+        assert len(distinct) <= 1, \
+            "generate_batch supports at most one distinct schema per " \
+            "batch (free-text rows may mix in via the permissive state)"
+        schema = next(iter(distinct.values()), None)
         if len(requests) > 16:
             # the batch dim buckets at (1,2,4,8,16); an oversized batch
             # (e.g. a 19-question MQA scene) would compile its own exact-B
@@ -265,11 +268,17 @@ class InferenceEngine:
                           img_embeds.dtype)], axis=0)
 
         use_fsm = schema is not None
-        fsm_trans = fsm_accept = fsm_dist = None
+        fsm_trans = fsm_accept = fsm_dist = fsm_start = None
         fsm_floor = 1
         max_new = max(r.max_new_tokens for r in requests)
         if use_fsm:
             fsm_trans, fsm_accept, fsm_dist, min_len = self._get_fsm(schema)
+            # per-row start states: schema rows at 1, free-text rows (and
+            # B-padding dummies) at the permissive state 0 — one batch
+            # serves constrained and unconstrained rows together
+            fsm_start = jnp.asarray(
+                [1 if r.schema is not None else 0 for r in requests]
+                + [0] * (B - B_real), jnp.int32)
             # a schema's shortest accepting path bounds the decode budget
             # from below — never truncate mid-JSON
             fsm_floor = min_len + 32
@@ -295,7 +304,7 @@ class InferenceEngine:
         if prefix is not None:
             result = self._generate_with_prefix(
                 prefix, tok_lists, B, max_new, sub, temps,
-                use_fsm, fsm_trans, fsm_accept, fsm_dist, bias)
+                use_fsm, fsm_trans, fsm_accept, fsm_dist, bias, fsm_start)
         elif self.kv_layout == "contiguous":
             ids = self.tokenizer.pad_batch(tok_lists, pad_to=T, left=True)
             ids = ids[:, -T:]
@@ -303,18 +312,19 @@ class InferenceEngine:
                 jnp.asarray(ids), img_embeds, sub, t_max=T + max_new,
                 max_new_tokens=max_new, temperature=temps,
                 use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
-                fsm_dist=fsm_dist, length_bias=bias)
+                fsm_dist=fsm_dist, fsm_start=fsm_start, length_bias=bias)
         else:
             result = self._generate_paged(
                 tok_lists, T, B, max_new, img_embeds, sub, temps,
-                use_fsm, fsm_trans, fsm_accept, fsm_dist, bias, fsm_floor)
+                use_fsm, fsm_trans, fsm_accept, fsm_dist, bias, fsm_floor,
+                fsm_start)
 
         return result, (B_real, B, T, max_new, prefix is not None,
                         img_embeds)
 
     def _generate_paged(self, tok_lists, T, B, max_new, img_embeds, rng,
                         temperature, use_fsm, fsm_trans, fsm_accept,
-                        fsm_dist, bias, fsm_floor=1):
+                        fsm_dist, bias, fsm_floor=1, fsm_start=None):
         pages_per_seq = min(
             self.max_pages_per_seq,
             -(-(T + max_new) // self.cfg.page_size))
@@ -330,7 +340,7 @@ class InferenceEngine:
                 jnp.asarray(ids[:, -T:]), img_embeds, rng, t_max=T + max_new,
                 max_new_tokens=max_new, temperature=temperature,
                 use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
-                fsm_dist=fsm_dist, length_bias=bias)
+                fsm_dist=fsm_dist, fsm_start=fsm_start, length_bias=bias)
         ids = self.tokenizer.pad_batch(tok_lists, pad_to=T)[:, :T]
         max_new = max(1, min(max_new, total_new))
 
@@ -350,7 +360,7 @@ class InferenceEngine:
                 jnp.asarray(ids), img_embeds, cache, rng,
                 max_new_tokens=max_new, temperature=temperature,
                 use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
-                fsm_dist=fsm_dist, length_bias=bias)
+                fsm_dist=fsm_dist, fsm_start=fsm_start, length_bias=bias)
             self._k_pages = cache.k_pages
             self._v_pages = cache.v_pages
             return result
@@ -434,7 +444,7 @@ class InferenceEngine:
 
     def _generate_with_prefix(self, prefix, tok_lists, B, max_new, rng,
                               temps, use_fsm, fsm_trans, fsm_accept,
-                              fsm_dist, bias):
+                              fsm_dist, bias, fsm_start=None):
         """Suffix-only prefill over the shared prefix pages + paged decode
         (the Pallas kernel handles the per-row ragged lengths)."""
         pg = self.cfg.page_size
@@ -466,7 +476,8 @@ class InferenceEngine:
                 jnp.asarray(ids), cache, rng, prefix_len=P,
                 max_new_tokens=max_new, temperature=temps,
                 use_fsm=use_fsm, fsm_trans=fsm_trans,
-                fsm_accept=fsm_accept, fsm_dist=fsm_dist, length_bias=bias)
+                fsm_accept=fsm_accept, fsm_dist=fsm_dist,
+                fsm_start=fsm_start, length_bias=bias)
             self._k_pages = cache.k_pages
             self._v_pages = cache.v_pages
             return result
@@ -493,8 +504,20 @@ class InferenceEngine:
                 dfa = structured.compile_schema_cached(
                     schema, self.cfg.vocab_size)
                 trans = dfa.trans
-            hit = (jnp.asarray(trans), jnp.asarray(dfa.accept),
-                   jnp.asarray(dfa.dist), int(dfa.dist[0]))
+            # Heterogeneous constrained batching: prepend ONE permissive
+            # state (row 0: every token allowed, self-loop, accepting,
+            # distance 0).  Free-text rows of a mixed batch start there
+            # and decode exactly as unconstrained; schema rows start at
+            # state 1.  Costs one table row — no per-row tables, no
+            # union cache (the scene-graph table alone is ~300 MB).
+            trans = np.asarray(trans)
+            shifted = np.where(trans >= 0, trans + 1, -1).astype(np.int32)
+            trans2 = np.concatenate(
+                [np.zeros((1, trans.shape[1]), np.int32), shifted])
+            accept2 = np.concatenate([[True], dfa.accept])
+            dist2 = np.concatenate([[0], dfa.dist]).astype(np.int32)
+            hit = (jnp.asarray(trans2), jnp.asarray(accept2),
+                   jnp.asarray(dist2), int(dfa.dist[0]))
             self._fsm_cache[key] = hit
         return hit
 

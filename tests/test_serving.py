@@ -166,6 +166,54 @@ def test_engine_free_text_batch():
     assert engine.stats["decode_tokens"] > 0
 
 
+def test_heterogeneous_constrained_batch():
+    """ONE engine batch mixing a schema row and free-text rows: the
+    schema row starts at FSM state 1 and must emit schema-valid JSON;
+    free rows start at the permissive state 0 and decode exactly as an
+    unconstrained batch would (token-identical check)."""
+    engine = InferenceEngine(TINY, seed=0, num_pages=64,
+                             max_pages_per_seq=32)
+    free_reqs = [Request(messages=[{"role": "user",
+                                    "content": f"hello {i}"}],
+                         temperature=0.0, max_new_tokens=128)
+                 for i in range(2)]
+    mixed = [Request(messages=[{"role": "user", "content": "give me json"}],
+                     schema=SampleStrict, max_new_tokens=128)] + free_reqs
+    outs = engine.generate_batch(mixed)
+    parsed = SampleStrict.model_validate_json(outs[0])
+    assert isinstance(parsed.count, int)
+    assert engine.allocator.used == 0
+
+    # the free rows must match a pure free-text batch bit-for-bit
+    # (same B bucket => same compiled program shape, greedy rows)
+    fresh = InferenceEngine(TINY, seed=0, num_pages=64,
+                            max_pages_per_seq=32)
+    pure = fresh.generate_batch(
+        [Request(messages=[{"role": "user", "content": "give me json"}],
+                 temperature=0.0, max_new_tokens=128)] + free_reqs)
+    assert outs[1:] == pure[1:]
+
+
+def test_group_mixed_calls():
+    """Client-side grouping: free-text calls merge into the single
+    schema batch of their decode bucket; two distinct schemas split."""
+    from msc_tpu.serving.client import group_mixed_calls
+
+    calls = [
+        dict(messages=[], max_new_tokens=256),                      # free
+        dict(messages=[], max_new_tokens=192),                      # free
+        dict(messages=[], response_format=SampleStrict,
+             max_new_tokens=256),                                   # schema
+    ]
+    batches = group_mixed_calls(calls)
+    assert sorted(map(sorted, batches)) == [[0, 1, 2]]
+    calls.append(dict(messages=[], response_format=Sample,
+                      max_new_tokens=256))
+    batches = group_mixed_calls(calls)
+    # two schemas: free calls ride with neither (separate batch)
+    assert sorted(len(b) for b in batches) == [1, 1, 2]
+
+
 def test_oversized_batch_chunks_to_buckets():
     """A >16-request batch (a 19-question MQA scene) chunks into bucketed
     sub-batches instead of compiling an exact-B program."""
