@@ -51,20 +51,31 @@ def main():
     ckpt_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "ckpt")
     if not cfg.model.vlm_ckpt and os.path.isdir(ckpt_root):
-        import re as _re
+        # ckpt/SHIPPED pins the blessed checkpoint (a newer round can
+        # REGRESS — r8 measured 48.9% held-out vs r7's 62.3% — so "newest"
+        # is not "best"); fall back to the newest round if absent
+        shipped = os.path.join(ckpt_root, "SHIPPED")
+        pinned = ""
+        if os.path.isfile(shipped):
+            with open(shipped) as f:
+                pinned = f.read().strip()
+        if pinned and os.path.isdir(os.path.join(ckpt_root, pinned)):
+            cfg.model.vlm_ckpt = os.path.join(ckpt_root, pinned)
+        else:
+            import re as _re
 
-        def _round_key(d):
-            # numeric round suffix beats lexicographic (distill_r10 must
-            # outrank distill_r7); mtime breaks ties
-            m = _re.search(r"(\d+)$", d)
-            return (int(m.group(1)) if m else -1,
-                    os.path.getmtime(os.path.join(ckpt_root, d)))
+            def _round_key(d):
+                # numeric round suffix beats lexicographic (distill_r10
+                # must outrank distill_r7); mtime breaks ties
+                m = _re.search(r"(\d+)$", d)
+                return (int(m.group(1)) if m else -1,
+                        os.path.getmtime(os.path.join(ckpt_root, d)))
 
-        cands = sorted((d for d in os.listdir(ckpt_root)
-                        if os.path.isdir(os.path.join(ckpt_root, d))),
-                       key=_round_key)
-        if cands:
-            cfg.model.vlm_ckpt = os.path.join(ckpt_root, cands[-1])
+            cands = sorted((d for d in os.listdir(ckpt_root)
+                            if os.path.isdir(os.path.join(ckpt_root, d))),
+                           key=_round_key)
+            if cands:
+                cfg.model.vlm_ckpt = os.path.join(ckpt_root, cands[-1])
     # coalesce concurrent scenes' calls into batched device calls
     cfg.model.backend.continuous_batching = concurrency > 1
 

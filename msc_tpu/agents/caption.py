@@ -133,7 +133,7 @@ class CaptionGenerator(BaseAgent):
                             structured_caption: Dict) -> str:
         messages = build_mqa_messages(question, structured_caption)
         try:
-            return self.call_llm(messages, temperature=0.2, task="mqa_answer",
+            return self.call_llm(messages, temperature=0.0, task="mqa_answer",
                                  max_new_tokens=64)
         except Exception as e:
             print(f"  [CaptionGenerator] MQA error: {e}")

@@ -105,10 +105,13 @@ class RawVLMBaseline:
                                 mqa_df: Optional[pd.DataFrame] = None,
                                 test_mode: bool = True,
                                 num_test_scenes: int = 5,
-                                output_dir: str = "evaluation_results"
-                                ) -> pd.DataFrame:
+                                output_dir: str = "evaluation_results",
+                                scene_offset: int = 0) -> pd.DataFrame:
         """Per-sample caption + per-question answers + scoring + CSV
-        (flow parity with `baseline_gpt4o.py:376-552`)."""
+        (flow parity with `baseline_gpt4o.py:376-552`).  scene_offset
+        selects a window into the sample list — the same held-out
+        protocol as the agentic runner (eval/runner.py), so the
+        baseline-vs-pipeline comparison runs on identical scenes."""
         evaluator = ComprehensiveMQAEvaluator(mqa_csv_path, mqa_df)
 
         tokens = set()
@@ -121,7 +124,8 @@ class RawVLMBaseline:
         questions = evaluator.mqa_data[
             evaluator.mqa_data["sample_token"].isin(tokens)].copy()
         if test_mode:
-            keep = questions["sample_token"].unique()[:num_test_scenes]
+            uniq = questions["sample_token"].unique()
+            keep = uniq[scene_offset: scene_offset + num_test_scenes]
             questions = questions[questions["sample_token"].isin(keep)]
 
         rows = []
@@ -160,3 +164,58 @@ class RawVLMBaseline:
             metrics = evaluator.compute_metrics(df)
             evaluator.print_results(metrics)
         return df
+
+
+def main():
+    """CLI entry mirroring eval/runner.py's held-out protocol:
+
+        MSC_BACKEND=vlm MSC_VLM_CKPT=ckpt/distill_rN \\
+            python -m msc_tpu.eval.baseline --num-scenes 12 \\
+            --scene-offset 148 --mock-scenes 160
+
+    runs the reference's central experiment (agentic pipeline vs raw
+    one-call baseline, `src/baseline_gpt4o.py:376-552`) on the SAME
+    held-out scenes the pipeline is scored on."""
+    import argparse
+
+    from msc_tpu.config import Config
+    from msc_tpu.data.mqa import generate_mock_mqa
+    from msc_tpu.data.nuscenes import MockNuScenesLoader, create_loader
+    from msc_tpu.serving.client import make_backend
+    from msc_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-scenes", type=int, default=None)
+    ap.add_argument("--scene-offset", type=int, default=0)
+    ap.add_argument("--mock-scenes", type=int, default=None)
+    ap.add_argument("--output-dir", default=None)
+    args = ap.parse_args()
+
+    cfg = Config.from_env()
+    if args.num_scenes is not None:
+        cfg.eval.num_test_scenes = args.num_scenes
+    if args.output_dir:
+        cfg.eval.output_dir = args.output_dir
+
+    if cfg.data.use_mock or not cfg.data.dataroot:
+        n_mock = args.mock_scenes or (args.scene_offset
+                                      + cfg.eval.num_test_scenes)
+        loader = MockNuScenesLoader(num_scenes=n_mock, samples_per_scene=1)
+        mqa_df = generate_mock_mqa(loader, num_scenes=n_mock)
+        mqa_csv = None
+    else:
+        loader = create_loader(cfg.data.dataroot, cfg.data.version)
+        mqa_df = None
+        mqa_csv = cfg.eval.mqa_csv_path
+
+    client = ChatClient(make_backend(cfg.model))
+    baseline = RawVLMBaseline(client, model=cfg.model.small_model)
+    baseline.run_baseline_evaluation(
+        loader, mqa_csv_path=mqa_csv, mqa_df=mqa_df, test_mode=True,
+        num_test_scenes=cfg.eval.num_test_scenes,
+        output_dir=cfg.eval.output_dir, scene_offset=args.scene_offset)
+
+
+if __name__ == "__main__":
+    main()

@@ -308,8 +308,11 @@ class SemanticCaptioningPipeline:
         from msc_tpu.agents.caption import build_mqa_messages
 
         caption = scene_results["structured_caption"]
+        # greedy: MQA answers are scored exact-match, and the answer is a
+        # deterministic function of the caption facts — sampling noise
+        # (temp 0.2 flipped measured answers batch-vs-serial) only costs
         calls = [dict(messages=build_mqa_messages(q, caption),
-                      temperature=0.2, task="mqa_answer", max_new_tokens=64)
+                      temperature=0.0, task="mqa_answer", max_new_tokens=64)
                  for q in questions]
         with self.timer.stage("mqa.answer_batch"):
             return self.client.call_llm_batch(calls)

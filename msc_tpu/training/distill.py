@@ -86,6 +86,46 @@ def canonicalize_for_dfa(schema, text: str) -> str:
     return json.dumps(clamp(spec, obj), separators=(",", ":"))
 
 
+def _fact_copy_pairs(caption: Dict, scene_i: int) -> List[tuple]:
+    """Synthetic mqa_answer pairs covering EVERY category once per scene
+    (plus a rotating per-camera subset): prompt via the canonical
+    ``build_mqa_messages`` (which injects the question-adjacent facts
+    line) and target via the analytic answerer — the exact (prompt,
+    answer) function serving runs, at zero model-call cost.  The organic
+    MQA set asks ~17 random questions/scene, too thin for the model to
+    learn the copy-the-facts-line skill uniformly across an 11-class
+    space (r8: held-out count_scene 24.6%)."""
+    from msc_tpu.agents.caption import build_mqa_messages
+    from msc_tpu.data.mqa import CATEGORY_TO_MQA_OBJECT, CHANNEL_TO_CAM
+    from msc_tpu.serving.analytic import answer_mqa_from_caption
+
+    cats = sorted(set(CATEGORY_TO_MQA_OBJECT.values()))
+    cams = list(CHANNEL_TO_CAM.values())
+    questions: List[str] = []
+    for obj in cats:
+        plural = obj if obj.endswith("s") else obj + "s"
+        questions.append(f"How many <obj>{plural}</obj> are in the scene?")
+    # rotating camera/category subset keeps the per-scene augmentation
+    # compact (~29 pairs) while covering every (cat, cam) combination
+    # across the training scenes
+    for k in range(3):
+        obj = cats[(scene_i * 3 + k) % len(cats)]
+        plural = obj if obj.endswith("s") else obj + "s"
+        for c in range(2):
+            cam = cams[(scene_i * 2 + c + k) % len(cams)]
+            questions.append(
+                f"How many <obj>{plural}</obj> are in <cam>{cam}</cam>?")
+            questions.append(f"Is there a <obj>{obj}</obj> in <cam>{cam}</cam>?")
+    for k in range(2):
+        obj = cats[(scene_i + k * 5) % len(cats)]
+        questions.append(f"How far away is the nearest <obj>{obj}</obj>?")
+        questions.append(f"Where is the nearest <obj>{obj}</obj>?")
+        questions.append(f"Which camera shows the nearest <obj>{obj}</obj>?")
+    return [(build_mqa_messages(q, caption),
+             answer_mqa_from_caption(q, caption), None, "mqa_answer", [])
+            for q in questions]
+
+
 def build_multitask_dataset(num_scenes: int, holdout: int = 8,
                             tasks: str = "all",
                             config_names: Tuple[str, ...] = ("full",),
@@ -186,6 +226,49 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
                             gt = a
                             break
                 scene_pairs.append((rec["messages"], target, gt,
+                                    rec["task"], rec["images"]))
+        # fact-copy augmentation: the MQA dataset asks ~17 random
+        # questions/scene, so rare categories get thin coverage of the
+        # load-bearing skill — "copy the question-adjacent facts line
+        # into the XML answer template".  Every category (plus a per-view
+        # sweep) gets one synthetic pair per scene, prompt and target
+        # built by the SAME functions the serving path uses
+        # (build_mqa_messages + the analytic answerer) at zero model-call
+        # cost.  r8 measured the skill NOT forming under dilution: its
+        # held-out count_scene fell 46->25% while quick-eval object
+        # accuracy fell 1.00->0.78.
+        if tasks == "all" and not result.get("error"):
+            scene_pairs.extend(_fact_copy_pairs(
+                result["structured_caption"], i))
+        # the non-agentic baseline's tasks train too (one caption call +
+        # per-question answers, eval/baseline.py): the baseline-vs-
+        # pipeline comparison (the reference's central experiment,
+        # `src/baseline_gpt4o.py:376-552`) is only fair if the VLM has
+        # seen the baseline's prompt format as well.  Every 3rd scene is
+        # plenty of format exposure — r8 recorded it for EVERY scene and
+        # the ~18 extra pairs/scene diluted the MQA copy skill (held-out
+        # 62.3% -> 48.9%).
+        if tasks == "all" and i % 3 == 0:
+            from msc_tpu.eval.baseline import RawVLMBaseline
+            from msc_tpu.serving.client import ChatClient
+
+            recorder.take()
+            baseline = RawVLMBaseline(ChatClient(recorder))
+            cap = baseline.generate_scene_caption(
+                sample["images"], sample["camera_names"],
+                sample["point_cloud"], sample["annotations"])
+            for _, row in qs.iterrows():
+                baseline.answer_question_from_caption(row["question"], cap)
+            for rec in recorder.take():
+                if rec["n_images"] > 0 and not include_images:
+                    continue
+                gt = None
+                if rec["task"] == "baseline_answer":
+                    for q, a in gt_by_prompt.items():
+                        if q in rec["messages"][-1]["content"]:
+                            gt = a
+                            break
+                scene_pairs.append((rec["messages"], rec["response"], gt,
                                     rec["task"], rec["images"]))
         pairs_by_scene.append(scene_pairs)
 
@@ -346,10 +429,14 @@ def main():
     if long_:
         ids_l, mask_l = tokenize_pairs(long_, tokenizer, args.max_len_long)
         buckets.append((ids_l, mask_l, max(2, args.batch // 4), None))
-    by_count: Dict[int, list] = {}
+    # bucket by (image count, frame shape): sub-threshold frames record at
+    # NATIVE size (train/serve alignment, serving/client.RecordingBackend),
+    # so pairs with the same count can still carry different resolutions
+    by_count: Dict[tuple, list] = {}
     for p in img_pairs:
-        by_count.setdefault(len(p[4]), []).append(p)
-    for V, ps in sorted(by_count.items()):
+        key = (len(p[4]), tuple(np.asarray(p[4][0]).shape))
+        by_count.setdefault(key, []).append(p)
+    for (V, _shape), ps in sorted(by_count.items()):
         T_img = args.max_len_long if V * tpi + 512 > args.max_len \
             else args.max_len
         # drop pairs whose prompt would truncate an IMG run (image k
