@@ -99,19 +99,46 @@ def _fused_kernel(pos_ref,                       # scalar prefetch (1,) SMEM
                   x_ref, ln1_ref, wqkv_ref, wo_ref, ln2_ref, w_gu_ref,
                   w_down_ref, k_hbm, v_hbm, valid_ref,
                   x_out_ref, k_new_ref, v_new_ref,
-                  k_vmem, v_vmem, sems,
-                  *, cfg_tuple):
+                  k_vmem, v_vmem, qs_scr, sems,
+                  *, cfg_tuple, n_chunks):
     (H, KV, hd, M, Tmax, theta) = cfg_tuple
     G = H // KV
     B = x_ref.shape[0]
     pos = pos_ref[0]
     li = pl.program_id(0)
 
-    # ---- start this layer's K/V span streaming HBM -> VMEM
-    k_dma = pltpu.make_async_copy(k_hbm.at[li], k_vmem, sems.at[0])
-    v_dma = pltpu.make_async_copy(v_hbm.at[li], v_vmem, sems.at[1])
-    k_dma.start()
-    v_dma.start()
+    # ---- start this layer's K/V span streaming HBM -> VMEM.  The span
+    # is live-length-bounded in Tmax/n_chunks granularity: chunk c is
+    # copied only when the live prefix (pos+1 rows incl. self) reaches
+    # it — rows past the live prefix are masked out below, so their
+    # stale scratch content never contributes.  Each chunk gets its own
+    # semaphore; start/wait pair under identical predicates.
+    ch = Tmax // n_chunks
+
+    def _span_dmas(c):
+        lo = c * ch
+        return (pltpu.make_async_copy(k_hbm.at[li, :, lo:lo + ch],
+                                      k_vmem.at[:, lo:lo + ch],
+                                      sems.at[0, c]),
+                pltpu.make_async_copy(v_hbm.at[li, :, lo:lo + ch],
+                                      v_vmem.at[:, lo:lo + ch],
+                                      sems.at[1, c]))
+
+    for c in range(n_chunks):
+        @pl.when((c == 0) | (pos >= c * ch))
+        def _(c=c):
+            kd, vd = _span_dmas(c)
+            kd.start()
+            vd.start()
+
+        if c > 0:
+            # skipped chunks: zero V so the (probability x V) matmul sees
+            # finite values where p==0 (K garbage is masked via the score
+            # `live` select, but 0 x NaN would still poison the output)
+            @pl.when(pos < c * ch)
+            def _(c=c):
+                v_vmem[:, c * ch:(c + 1) * ch, :] = jnp.zeros(
+                    (B, ch, v_vmem.shape[-1]), v_vmem.dtype)
 
     # ---- residual stream carry: x_out_ref is a VMEM accumulator whose
     # block is constant across the (sequential) grid steps — layer 0
@@ -132,53 +159,59 @@ def _fused_kernel(pos_ref,                       # scalar prefetch (1,) SMEM
     k_new = _rope_row(k_new, pos, theta, hd)
     k_new_ref[0] = k_new.astype(k_new_ref.dtype)
     v_new_ref[0] = v_new.astype(v_new_ref.dtype)
-    # round-trip through the cache dtype: the XLA path reads the newly
-    # written (cache-dtype) row back, so the self score must match it
-    k_new = k_new.astype(k_new_ref.dtype).astype(jnp.float32)
-    v_new = v_new.astype(v_new_ref.dtype).astype(jnp.float32)
 
-    # ---- masked GQA attention over the cached prefix + self
     q = q * hd ** -0.5                            # (B, 1, H*hd) f32
+    # scatter q lanes onto sublanes: (B, 1, H*hd) -> (B, H, hd), so each
+    # GQA group's scores/output are ONE (Tmax x hd)x(hd x G) / (G x Tmax)
+    # x(Tmax x hd) MXU matmul instead of H tiny per-head matvecs (the
+    # measured loss of the round-2 kernel: 16 matvecs/layer of shape
+    # (1 x hd)x(hd x Tmax) left the MXU idle)
+    for head in range(H):
+        qs_scr[:, head:head + 1, :] = q[:, :, head * hd: (head + 1) * hd]
 
-    k_dma.wait()
-    v_dma.wait()
+    for c in range(n_chunks):
+        @pl.when((c == 0) | (pos >= c * ch))
+        def _(c=c):
+            kd, vd = _span_dmas(c)
+            kd.wait()
+            vd.wait()
+
+    # the self row joins the cached span in scratch (round-tripped
+    # through the cache dtype exactly as the XLA path reads it back), so
+    # attention needs no separate self-score path
+    k_vmem[:, pl.ds(pos, 1), :] = k_new.astype(k_vmem.dtype)
+    v_vmem[:, pl.ds(pos, 1), :] = v_new.astype(v_vmem.dtype)
+
     ks = k_vmem[:].astype(x.dtype)                # (B, Tmax, KV*hd)
     vs = v_vmem[:].astype(x.dtype)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Tmax), 2)
-    live = (idx < pos) & (valid_ref[:] != 0)      # (B, 1, Tmax)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Tmax, 1), 1)
+    live = (((idx < pos) & (valid_ref[:] != 0))
+            | (idx == pos))                       # (B, Tmax, 1)
 
-    # static loop over heads — every operand stays rank 3 with lane
-    # slices only; the unit middle dim gives Mosaic's matmul the
-    # non-contracting dims it requires.  Cast structure mirrors
-    # decoder.decode_step_contig (f32 scores and softmax, compute-dtype
-    # probability x V matmul) so the fused path tracks the XLA path
-    # bit-for-bit at f32 and within one rounding step at bf16.
+    # ---- masked GQA attention, one matmul pair per KV group.  Cast
+    # structure mirrors decoder.decode_step_contig (bf16 score matmul
+    # with f32 accumulation, f32 softmax, compute-dtype probability x V
+    # matmul) so the fused path tracks the XLA path bit-for-bit at f32
+    # and within one rounding step at bf16.
+    qs = qs_scr[:].astype(x.dtype)                # (B, H, hd)
     o_parts = []
-    for head in range(H):
-        kv = head // G
-        q_h = q[:, :, head * hd: (head + 1) * hd]     # (B, 1, hd) f32
-        k_kv = ks[:, :, kv * hd: (kv + 1) * hd]       # (B, Tmax, hd)
-        v_kv = vs[:, :, kv * hd: (kv + 1) * hd]
-        k_new_h = k_new[:, :, kv * hd: (kv + 1) * hd]
-        v_new_h = v_new[:, :, kv * hd: (kv + 1) * hd]
-        # self score (always attendable): (B, 1, 1)
-        s_sf = jnp.sum(q_h * k_new_h, axis=-1, keepdims=True)
-        # cached scores: (B, 1, hd) x (B, Tmax, hd) -> (B, 1, Tmax)
+    for kv in range(KV):
+        k_g = ks[:, :, kv * hd: (kv + 1) * hd]        # (B, Tmax, hd)
+        v_g = vs[:, :, kv * hd: (kv + 1) * hd]
+        q_g = qs[:, kv * G: (kv + 1) * G, :]          # (B, G, hd)
         s = jax.lax.dot_general(
-            q_h.astype(x.dtype), k_kv,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            k_g, q_g, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (B, Tmax, G)
         s = jnp.where(live, s, -1e30)
-        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_sf)
+        m = jnp.max(s, axis=1, keepdims=True)         # (B, 1, G)
         p = jnp.exp(s - m)
-        p_sf = jnp.exp(s_sf - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True) + p_sf   # (B, 1, 1)
+        denom = jnp.sum(p, axis=1, keepdims=True)
         p = (p / denom).astype(x.dtype)
-        o_h = jax.lax.dot_general(
-            p, v_kv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)   # (B, 1, hd)
-        o_h = o_h + (p_sf / denom) * v_new_h
-        o_parts.append(o_h)
+        o_g = jax.lax.dot_general(
+            p, v_g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (B, G, hd)
+        for g in range(G):
+            o_parts.append(o_g[:, g:g + 1, :])        # (B, 1, hd)
     o = jnp.concatenate(o_parts, axis=2).astype(x.dtype)    # (B, 1, H*hd)
 
     x = x + jnp.dot(o, wo_ref[0],
@@ -214,6 +247,9 @@ def fused_decode_layers(x, fused: Dict, k_cache, v_cache, valid, pos,
     kvd = KV * hd
     kc = k_cache.reshape(L, B, Tmax, kvd)
     vc = v_cache.reshape(L, B, Tmax, kvd)
+    # live-length-bounded K/V streaming: 4 chunks when the span tiles
+    # cleanly on sublanes, else one full-span copy
+    n_chunks = 4 if Tmax % 4 == 0 and (Tmax // 4) % 8 == 0 else 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -235,7 +271,7 @@ def fused_decode_layers(x, fused: Dict, k_cache, v_cache, valid, pos,
                          memory_space=pltpu.VMEM),           # w_down
             pl.BlockSpec(memory_space=pl.ANY),               # k_cache (HBM)
             pl.BlockSpec(memory_space=pl.ANY),               # v_cache (HBM)
-            pl.BlockSpec((B, 1, Tmax), lambda l, p: (0, 0, 0),
+            pl.BlockSpec((B, Tmax, 1), lambda l, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # valid
         ],
         out_specs=[
@@ -249,10 +285,12 @@ def fused_decode_layers(x, fused: Dict, k_cache, v_cache, valid, pos,
         scratch_shapes=[
             pltpu.VMEM((B, Tmax, kvd), k_cache.dtype),       # k span
             pltpu.VMEM((B, Tmax, kvd), v_cache.dtype),       # v span
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((B, H, hd), jnp.float32),             # q head-major
+            pltpu.SemaphoreType.DMA((2, n_chunks)),
         ],
     )
-    kernel = functools.partial(_fused_kernel, cfg_tuple=cfg_tuple)
+    kernel = functools.partial(_fused_kernel, cfg_tuple=cfg_tuple,
+                               n_chunks=n_chunks)
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -265,6 +303,6 @@ def fused_decode_layers(x, fused: Dict, k_cache, v_cache, valid, pos,
     )(jnp.asarray(pos, jnp.int32).reshape(1),
       x[:, None, :], fused["ln1"][:, None, :], fused["wqkv"], fused["wo"],
       fused["ln2"][:, None, :], fused["w_gu"], fused["w_down"], kc, vc,
-      valid[:, None, :].astype(jnp.int8))
+      valid[:, :, None].astype(jnp.int8))
     return (x_out[:, 0, :], k_new.reshape(L, B, kvd),
             v_new.reshape(L, B, kvd))

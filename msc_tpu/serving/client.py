@@ -30,6 +30,7 @@ backoff capped at 60s; non-transient errors re-raise
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -310,6 +311,19 @@ def make_backend(model_config, vlm_params=None) -> Backend:
         if model_config.small_model != "msc-vlm-s":
             # model-family selection by preset name
             vlm_cfg = vlm_preset(model_config.small_model)
+        # self-describing checkpoints win: distill writes a `<ckpt>.preset`
+        # sidecar; loading a checkpoint with the wrong architecture would
+        # otherwise fail deep in restore with a shape error
+        ckpt = getattr(model_config, "vlm_ckpt", "")
+        preset_env = os.environ.get("MSC_VLM_PRESET", "")
+        sidecar = (os.path.abspath(ckpt) + ".preset") if ckpt else ""
+        if preset_env:
+            vlm_cfg = vlm_preset(preset_env)
+        elif sidecar and os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                name = f.read().strip()
+            if name and name != "msc-vlm-s":
+                vlm_cfg = vlm_preset(name)
         if vlm_params is None and getattr(model_config, "vlm_ckpt", ""):
             from msc_tpu.utils.checkpoint import restore_params
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from typing import Dict, List, Tuple
 
 
@@ -393,6 +394,16 @@ def main():
     cfg = (VLMConfig() if args.preset == "msc-vlm-s"
            else vlm_preset(args.preset))
     tokenizer = make_tokenizer(cfg)  # MUST match the serving tokenizer
+
+    if args.save:
+        # self-describing checkpoint: a sidecar records the preset so
+        # serving (make_backend) reconstructs the right architecture
+        # without the caller passing it (sidecar, not in-dir — orbax
+        # owns the directory contents and replaces them on save)
+        os.makedirs(os.path.dirname(os.path.abspath(args.save)) or ".",
+                    exist_ok=True)
+        with open(os.path.abspath(args.save) + ".preset", "w") as f:
+            f.write(args.preset + "\n")
 
     print(f"building {args.tasks}-task dataset from {args.scenes} scenes "
           f"(configs={args.configs})...")

@@ -259,18 +259,20 @@ def test_moe_capacity_drops_overflow_gracefully():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_fused_decode_matches_xla_step():
+@pytest.mark.parametrize("t_max", [64, 40])
+def test_fused_decode_matches_xla_step(t_max):
     """The fused Pallas decode kernel (whole layer stack in one kernel,
     ops/fused_decode.py) must reproduce decode_step_contig exactly at f32
     on the interpreter: same logits, same cache writes, over several
-    steps."""
+    steps.  t_max=64 exercises the live-length-bounded chunked K/V DMA
+    (4 chunks); t_max=40 the whole-span fallback (n_chunks=1)."""
     from msc_tpu.models import decoder as dec
     from msc_tpu.ops.fused_decode import stack_decoder_layers
 
     params = init_vlm_params(jax.random.PRNGKey(5), TINY)["dec"]
     fused_params = dict(params)
     fused_params["fused"] = stack_decoder_layers(params)
-    B, T, t_max = 3, 32, 64
+    B, T = 3, 32
     rng = np.random.default_rng(0)
     ids = np.full((B, T), 300, np.int32)
     ids[:, T // 2:] = rng.integers(1, 200, size=(B, T // 2))

@@ -370,6 +370,32 @@ def test_make_backend_kinds():
     assert isinstance(make_backend(cfg), AnalyticBackend)
 
 
+def test_make_backend_preset_sidecar(tmp_path):
+    """A `<ckpt>.preset` sidecar (written by training/distill.py) selects
+    the checkpoint's architecture in make_backend — loading a vlm-m
+    checkpoint must not silently build the -s architecture and fail deep
+    in restore with a shape error."""
+    from msc_tpu.config import vlm_preset
+    from msc_tpu.models.vlm import init_vlm_params
+    from msc_tpu.utils.checkpoint import save_params
+    import jax
+
+    tiny = vlm_preset("msc-vlm-tiny")
+    params = init_vlm_params(jax.random.PRNGKey(0), tiny)
+    ck = str(tmp_path / "ck")
+    save_params(ck, params)
+    with open(ck + ".preset", "w") as f:
+        f.write("msc-vlm-tiny\n")
+
+    cfg = ModelConfig()
+    cfg.backend.kind = "vlm"
+    cfg.backend.continuous_batching = False
+    cfg.vlm_ckpt = ck
+    backend = make_backend(cfg)
+    assert backend.engine.cfg.d_model == tiny.d_model
+    assert backend.engine.cfg.n_layers == tiny.n_layers
+
+
 def test_analytic_distance_answer():
     caption = {"objects": [
         {"category": "car", "position": "front, 12.3m"},
