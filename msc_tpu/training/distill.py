@@ -87,6 +87,87 @@ def canonicalize_for_dfa(schema, text: str) -> str:
     return json.dumps(clamp(spec, obj), separators=(",", ":"))
 
 
+def _random_copy_pairs(caption: Dict, scene_i: int,
+                       n_variants: int = 2) -> List[tuple]:
+    """Unmemorizable copy-curriculum: fact-copy pairs over SYNTHETIC
+    marker payloads with per-pair random counts.
+
+    Diagnosis (round 3): with 148 fixed training scenes over ~17 epochs,
+    the model minimized loss by memorizing scene→count associations —
+    held-out prompts carried a CORRECT question-adjacent facts line in
+    78/78 cases, yet the model copied it only 61% of the time.  Random
+    counts make memorization useless: the only strategy that fits these
+    pairs is the copy circuit itself (read "Counts for this question:
+    N ..." → emit <cnt>N</cnt>).
+
+    Each variant keeps the scene's prose but replaces the marker line
+    with a random multiset of categories/views/distances, rebuilds the
+    COUNTS tally with the same host function serving uses, and asks
+    count/existence questions about present AND absent categories.  The
+    marker name alternates OBJECTS_JSON/DETECTIONS_JSON so the circuit
+    forms on lidar-style captions too (held-out lidar_only 39.6%)."""
+    import numpy as np
+
+    from msc_tpu.agents.caption import build_mqa_messages
+    from msc_tpu.data.mqa import CATEGORY_TO_MQA_OBJECT, CHANNEL_TO_CAM
+    from msc_tpu.serving.analytic import answer_mqa_from_caption
+    from msc_tpu.utils.markers import append_counts
+
+    cats = sorted(set(CATEGORY_TO_MQA_OBJECT.values()))
+    cams = list(CHANNEL_TO_CAM.values())
+    text = str(caption.get("full_caption", ""))
+    prose = "\n".join(
+        l for l in text.splitlines()
+        if not (l.startswith(("OBJECTS_JSON:", "DETECTIONS_JSON:",
+                              "CAMERAS_JSON:", "COUNTS:"))))[:1200]
+
+    pairs: List[tuple] = []
+    for v in range(n_variants):
+        rng = np.random.default_rng(scene_i * 7919 + v)
+        present = rng.choice(len(cats), size=int(rng.integers(3, 7)),
+                             replace=False)
+        objs = []
+        for ci in present:
+            for _ in range(int(rng.integers(1, 5))):
+                objs.append({
+                    "category": cats[ci],
+                    "direction": cams[int(rng.integers(0, len(cams)))],
+                    "distance": round(float(rng.uniform(3.0, 60.0)), 1),
+                    "position": [round(float(rng.uniform(-40, 40)), 1),
+                                 round(float(rng.uniform(-40, 40)), 1),
+                                 0.0],
+                })
+        marker = "OBJECTS_JSON:" if v % 2 == 0 else "DETECTIONS_JSON:"
+        # objects mirrors question_facts's marker→pseudo conversion so
+        # the prompt's facts line and the analytic target agree exactly
+        pseudo = [{"category": o["category"],
+                   "position": (f"{o['direction']}, {o['distance']:.1f}m, "
+                                f"at ({o['position'][0]:.1f}, "
+                                f"{o['position'][1]:.1f})")}
+                  for o in objs]
+        cap_v = {"full_caption": append_counts(
+            prose + "\n" + marker + " " + json.dumps(objs)),
+            "objects": pseudo}
+
+        questions: List[str] = []
+        for obj in cats:
+            plural = obj if obj.endswith("s") else obj + "s"
+            questions.append(f"How many <obj>{plural}</obj> are in the scene?")
+        # two random per-camera questions per variant
+        for _ in range(2):
+            obj = cats[int(rng.integers(0, len(cats)))]
+            cam = cams[int(rng.integers(0, len(cams)))]
+            plural = obj if obj.endswith("s") else obj + "s"
+            questions.append(
+                f"How many <obj>{plural}</obj> are in <cam>{cam}</cam>?")
+            questions.append(f"Is there a <obj>{obj}</obj> in <cam>{cam}</cam>?")
+        pairs.extend((build_mqa_messages(q, cap_v),
+                      answer_mqa_from_caption(q, cap_v), None,
+                      "mqa_answer", [])
+                     for q in questions)
+    return pairs
+
+
 def _fact_copy_pairs(caption: Dict, scene_i: int) -> List[tuple]:
     """Synthetic mqa_answer pairs covering EVERY category once per scene
     (plus a rotating per-camera subset): prompt via the canonical
@@ -240,6 +321,8 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
         # accuracy fell 1.00->0.78.
         if tasks == "all" and not result.get("error"):
             scene_pairs.extend(_fact_copy_pairs(
+                result["structured_caption"], i))
+            scene_pairs.extend(_random_copy_pairs(
                 result["structured_caption"], i))
         # the non-agentic baseline's tasks train too (one caption call +
         # per-question answers, eval/baseline.py): the baseline-vs-
