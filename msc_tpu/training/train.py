@@ -21,6 +21,53 @@ from msc_tpu.models.decoder import _mlp, _rmsnorm, _rope, _attention_full
 from msc_tpu.models.decoder import embed_tokens
 from msc_tpu.models.tokenizer import IMG_ID, PAD_ID
 
+# Above this sequence length the training forward switches from full
+# (T, T)-score attention to the query-chunked form below.  At T=2560 the
+# full form's fp32 scores are ~840 MB/layer for msc-vlm-m (B=2, KV=4,
+# G=4) and the layer-level remat re-materializes them during backward —
+# the chunked form bounds live attention memory to O(block_q * T).
+_CHUNK_ATTN_MIN_T = 1024
+
+
+def _attention_chunked(q, k, v, mask, dtype, block_q: int = 256):
+    """Memory-bounded GQA attention for long-sequence training.
+
+    Numerically identical to ``_attention_full`` (same einsum/softmax, no
+    online-softmax approximation): a ``lax.scan`` over query blocks keeps
+    only one (B, KV, G, block_q, T) score tile live at a time, and
+    ``jax.checkpoint`` on the block body re-derives that tile in backward
+    instead of saving every block's softmax output.
+    """
+    B, T, H, hd = q.shape
+    KV = k.shape[2]
+    blk = min(block_q, T)
+    pad = (-T) % blk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad), (0, 0)))
+    Tp = q.shape[1]
+    nq = Tp // blk
+    G = H // KV
+    qb = q.reshape(B, nq, blk, KV, G, hd).transpose(1, 0, 2, 3, 4, 5)
+    mb = mask.reshape(B, nq, blk, T).transpose(1, 0, 2, 3)
+
+    @jax.checkpoint
+    def _block(qc, mc):
+        att = jnp.einsum("btkgd,bskd->bkgts", qc, k,
+                         preferred_element_type=jnp.float32) * hd ** -0.5
+        att = jnp.where(mc[:, None, None], att, -1e30)
+        att = jax.nn.softmax(att, axis=-1)
+        return jnp.einsum("bkgts,bskd->btkgd", att.astype(dtype), v,
+                          preferred_element_type=jnp.float32)
+
+    def _body(_, qm):
+        qc, mc = qm
+        return None, _block(qc, mc)
+
+    _, ob = jax.lax.scan(_body, None, (qb, mb))
+    o = ob.transpose(1, 0, 2, 3, 4, 5).reshape(B, Tp, H * hd)
+    return o[:, :T].astype(dtype)
+
 
 class TrainState(NamedTuple):
     params: Any
@@ -74,6 +121,8 @@ def forward_logits(params: Dict, cfg: VLMConfig, ids: jax.Array,
 
             o = ring_attention(q, k, v, valid, seq_mesh, axis="seq")
             o = o.reshape(B, T, cfg.n_heads * cfg.head_dim).astype(dtype)
+        elif T >= _CHUNK_ATTN_MIN_T:
+            o = _attention_chunked(q, k, v, mask, dtype)
         else:
             o = _attention_full(q, k, v, mask, dtype)
         x = x + jnp.dot(o, layer["wo"].astype(dtype),

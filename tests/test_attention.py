@@ -106,3 +106,26 @@ def test_decode_step_xla_paged_matches_contig():
     above plus the TPU-side engine equality run."""
     # covered by tests/test_serving.py::test_engine_paged_layout_matches_contiguous
     pass
+
+
+def test_chunked_training_attention_matches_full():
+    """Long-sequence training attention (query-chunked + per-block remat,
+    msc_tpu/training/train.py) is numerically identical to the full form
+    in forward AND gradient, including a non-block-multiple T (pad path)."""
+    from msc_tpu.training.train import _attention_chunked
+
+    rng = np.random.default_rng(3)
+    B, T, H, KV, hd = 2, 300, 4, 2, 16   # T % block_q != 0
+    q = jnp.asarray(rng.normal(size=(B, T, H, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, KV, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, KV, hd)).astype(np.float32))
+    valid = jnp.asarray(rng.random((B, T)) > 0.1)
+    mask = jnp.tril(jnp.ones((T, T), bool))[None] & valid[:, None, :]
+
+    o_full = _attention_full(q, k, v, mask, jnp.float32)
+    o_chunk = _attention_chunked(q, k, v, mask, jnp.float32, block_q=128)
+    assert jnp.abs(o_full - o_chunk).max() < 1e-5
+
+    g_full = jax.grad(lambda q: (_attention_full(q, k, v, mask, jnp.float32) ** 2).sum())(q)
+    g_chunk = jax.grad(lambda q: (_attention_chunked(q, k, v, mask, jnp.float32, 128) ** 2).sum())(q)
+    assert jnp.abs(g_full - g_chunk).max() < 1e-4
