@@ -67,7 +67,21 @@ def build_mqa_messages(question: str, structured_caption: Dict) -> list:
     # window tail-truncate, and the question must survive.  Compact JSON:
     # ~40% fewer prompt tokens than indent=2, and the format matches what
     # the model itself emits under the constrained decoder (transfer)
-    from msc_tpu.serving.analytic import question_facts
+    from msc_tpu.serving.analytic import marker_objects, question_facts
+
+    # Host-exact objects in the prompt: the distilled model answers count
+    # questions by counting the caption's objects JSON entries (round-3
+    # ablation — with objects=[1 entry] but a correct "Counts ...: 2"
+    # fact line, it answers 1), and under the vlm backend the
+    # model-generated objects list is lossy.  Substituting the
+    # marker-derived list (same format the analytic teacher trains on)
+    # makes that learned strategy exact at serving time.  The swap is
+    # prompt-only — the pipeline's result-dict caption is untouched.
+    host_objs = marker_objects(str(structured_caption.get("full_caption",
+                                                          "")))
+    if host_objs:
+        structured_caption = dict(structured_caption)
+        structured_caption["objects"] = host_objs
 
     # question-adjacent retrieval: the asked category's counts, computed
     # by the same matching core the analytic teacher answers with — the

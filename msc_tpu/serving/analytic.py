@@ -205,6 +205,37 @@ def _question_matches(question: str, caption: Dict):
     return target_obj, target_cam, count, matches
 
 
+def marker_objects(full_caption_text: str) -> List[Dict[str, Any]]:
+    """Host-exact caption ``objects`` list derived from the HOST-injected
+    marker lines (OBJECTS_JSON/DETECTIONS_JSON, utils/markers.py), in the
+    exact format the analytic teacher's ``_structure_caption`` emits.
+
+    Round-3 quality diagnosis: the distilled model answers MQA count
+    questions by counting the caption's ``objects`` JSON entries (ablation:
+    with objects=[1 entry] but a correct "Counts for this question: 2"
+    fact line, every checkpoint answers 1).  Under the vlm backend the
+    model-generated objects list is lossy (32-item DFA cap, generation
+    errors, collapsed duplicates) while the marker lines are exact — so
+    the MQA prompt substitutes these host-derived objects, making the
+    model's learned count-the-JSON strategy correct at serving time."""
+    objects = extract_markers(full_caption_text)
+    out: List[Dict[str, Any]] = []
+    for o in objects:
+        direction = str(o.get("direction", "front")).replace("_", " ")
+        pos_str = f"{direction}, {float(o.get('distance', 0.0)):.1f}m"
+        xyz = o.get("position")
+        if isinstance(xyz, (list, tuple)) and len(xyz) >= 2:
+            pos_str += f", at ({float(xyz[0]):.1f}, {float(xyz[1]):.1f})"
+        out.append({
+            "category": str(o.get("category", "unknown")),
+            "position": pos_str,
+            "state": str(o.get("state", "stopped")),
+            "attributes": [a for a in [o.get("attribute")] if a],
+            "visibility": str(o.get("visibility", "high")),
+        })
+    return out
+
+
 def question_facts(question: str, caption: Dict) -> Optional[str]:
     """Question-adjacent fact line for the MQA prompt (round-2 VERDICT
     item 1: "question-adjacent tally placement").
@@ -224,17 +255,8 @@ def question_facts(question: str, caption: Dict) -> Optional[str]:
     be lossy (32-item DFA cap, model errors).  The analytic teacher's
     objects are built from the same markers (_structure_caption), so
     facts and teacher answers agree exactly at distillation time."""
-    objs = extract_markers(str(caption.get("full_caption", "")))
-    if objs:
-        pseudo = []
-        for o in objs:
-            direction = str(o.get("direction", "front")).replace("_", " ")
-            pos_str = f"{direction}, {float(o.get('distance', 0.0)):.1f}m"
-            xyz = o.get("position")
-            if isinstance(xyz, (list, tuple)) and len(xyz) >= 2:
-                pos_str += f", at ({float(xyz[0]):.1f}, {float(xyz[1]):.1f})"
-            pseudo.append({"category": str(o.get("category", "unknown")),
-                           "position": pos_str})
+    pseudo = marker_objects(str(caption.get("full_caption", "")))
+    if pseudo:
         caption = {"objects": pseudo}
     target_obj, target_cam, count, matches = _question_matches(
         question, caption)
@@ -665,25 +687,12 @@ class AnalyticBackend(Backend):
 
     def _structure_caption(self, text: str) -> str:
         objects = extract_markers(text)
-        caption_objects = []
-        for o in objects:
-            direction = str(o.get("direction", "front")).replace("_", " ")
-            # position carries direction, range AND ego-frame coordinates:
-            # the coordinate suffix is what makes <loc> questions
-            # answerable from the caption alone (round-1 VERDICT item 7);
-            # the field stays the reference's free-form string
-            # (`caption_agent.py:30` "Relative position ...")
-            pos_str = f"{direction}, {float(o.get('distance', 0.0)):.1f}m"
-            xyz = o.get("position")
-            if isinstance(xyz, (list, tuple)) and len(xyz) >= 2:
-                pos_str += f", at ({float(xyz[0]):.1f}, {float(xyz[1]):.1f})"
-            caption_objects.append({
-                "category": str(o.get("category", "unknown")),
-                "position": pos_str,
-                "state": str(o.get("state", "stopped")),
-                "attributes": [a for a in [o.get("attribute")] if a],
-                "visibility": str(o.get("visibility", "high")),
-            })
+        # position carries direction, range AND ego-frame coordinates:
+        # the coordinate suffix is what makes <loc> questions
+        # answerable from the caption alone (round-1 VERDICT item 7);
+        # the field stays the reference's free-form string
+        # (`caption_agent.py:30` "Relative position ...")
+        caption_objects = marker_objects(text)
         counts: Dict[str, int] = {}
         for o in caption_objects:
             counts[o["category"]] = counts.get(o["category"], 0) + 1

@@ -336,3 +336,43 @@ def test_camera_pixel_detector_matches_ground_truth():
             total += 1
             agree += (gt == dict(det))
     assert agree / total >= 0.8  # occasional overlap-merge is tolerated
+
+
+def test_mqa_prompt_substitutes_host_objects():
+    """The MQA prompt embeds the marker-derived (host-exact) objects list
+    in place of the model-generated one: the distilled model counts the
+    caption's objects JSON entries (round-3 ablation), so a lossy
+    model-emitted list would make every count answer wrong even when the
+    adjacent fact line is correct.  Prompt-only — the caller's caption
+    dict must not be mutated."""
+    import json as _json
+
+    from msc_tpu.agents.caption import build_mqa_messages
+    from msc_tpu.serving.analytic import OBJ_MARKER
+
+    markers = [
+        {"category": "truck", "direction": "front", "distance": 10.0,
+         "position": [10.0, 0.0], "state": "stopped"},
+        {"category": "truck", "direction": "back", "distance": 20.0,
+         "position": [-20.0, 0.0], "state": "stopped"},
+    ]
+    lossy = [{"category": "truck", "position": "front, 10.0m"}]
+    caption = {"objects": lossy,
+               "full_caption": f"Scene.\n{OBJ_MARKER} {_json.dumps(markers)}"}
+    msgs = build_mqa_messages(
+        "How many <obj>trucks</obj> are in the scene?", caption)
+    body = msgs[1]["content"]
+    scene_json = _json.loads(
+        body.split("Scene Information:\n")[1].split("\n\nQuestion:")[0])
+    assert len(scene_json["objects"]) == 2          # host-exact, not lossy
+    assert scene_json["objects"][0]["state"] == "stopped"  # analytic format
+    assert caption["objects"] is lossy               # caller dict untouched
+    assert "Counts for this question: 2 trucks" in body
+
+    # no markers -> model objects pass through unchanged
+    cap2 = {"objects": lossy, "full_caption": "Scene with no markers."}
+    body2 = build_mqa_messages("How many <obj>trucks</obj> are in the "
+                               "scene?", cap2)[1]["content"]
+    scene2 = _json.loads(
+        body2.split("Scene Information:\n")[1].split("\n\nQuestion:")[0])
+    assert len(scene2["objects"]) == 1
