@@ -67,30 +67,32 @@ def build_mqa_messages(question: str, structured_caption: Dict) -> list:
     # window tail-truncate, and the question must survive.  Compact JSON:
     # ~40% fewer prompt tokens than indent=2, and the format matches what
     # the model itself emits under the constrained decoder (transfer)
-    from msc_tpu.serving.analytic import marker_objects, question_facts
-
-    # Host-exact objects in the prompt: the distilled model answers count
-    # questions by counting the caption's objects JSON entries (round-3
-    # ablation — with objects=[1 entry] but a correct "Counts ...: 2"
-    # fact line, it answers 1), and under the vlm backend the
-    # model-generated objects list is lossy.  Substituting the
-    # marker-derived list (same format the analytic teacher trains on)
-    # makes that learned strategy exact at serving time.  The swap is
-    # prompt-only — the pipeline's result-dict caption is untouched.
-    host_objs = marker_objects(str(structured_caption.get("full_caption",
-                                                          "")))
-    if host_objs:
-        structured_caption = dict(structured_caption)
-        structured_caption["objects"] = host_objs
+    from msc_tpu.serving.analytic import question_facts
+    from msc_tpu.utils.markers import strip_marker_lines
 
     # question-adjacent retrieval: the asked category's counts, computed
-    # by the same matching core the analytic teacher answers with — the
-    # model copies the adjacent fact instead of scanning an 11-class
-    # tally buried in the caption JSON (count_scene measured 46% without)
+    # from the HOST-injected markers by the same matching core the
+    # analytic teacher answers with — deterministic retrieval on the
+    # host, language on the model.  Computed BEFORE the record lists are
+    # stripped below (the markers are the authoritative fact source).
     facts = question_facts(question, structured_caption)
     facts_line = f"{facts}\n" if facts else ""
+
+    # The embedded caption carries NO raw record lists: round-3 held-out
+    # measurement showed the model answers count questions by counting
+    # the prompt's JSON record entries — a skill it performs at ~50-60%
+    # at scene scale (and record/fact consistency-by-construction means
+    # no curriculum can train it away) — while the host fact line and
+    # COUNTS tally it should read already carry every number.  Dropping
+    # the records (objects array + *_JSON marker lines) leaves retrieval
+    # as the only strategy and halves the prompt.  Prompt-only: the
+    # pipeline's result-dict caption is untouched.
+    reduced = {k: v for k, v in structured_caption.items() if k != "objects"}
+    if "full_caption" in reduced:
+        reduced["full_caption"] = strip_marker_lines(
+            str(reduced["full_caption"]))
     user = (f"Scene Information:\n"
-            f"{json.dumps(structured_caption, separators=(',', ':'))}\n\n"
+            f"{json.dumps(reduced, separators=(',', ':'))}\n\n"
             f"Question: {question}\n"
             f"{facts_line}"
             "Provide a precise answer using the correct XML format.")

@@ -282,22 +282,19 @@ def question_facts(question: str, caption: Dict) -> Optional[str]:
     return "Counts for this question: " + "; ".join(parts) + "."
 
 
-def answer_mqa_from_caption(question: str, caption: Dict) -> str:
-    """Count/existence answering over caption['objects'], emitting the
-    nuScenes-MQA XML contract (`src/agents/structure_caption/
-    caption_agent.py:127-148`)."""
-    target_obj, target_cam, count, matches = _question_matches(
-        question, caption)
-
-    distances = [d for d, _dir, _xy in matches if d < 1e9]
+def _format_mqa_answer(question: str, target_obj: Optional[str], count: int,
+                       nearest: Optional[tuple]) -> str:
+    """Shared nuScenes-MQA XML answer templates (`src/agents/
+    structure_caption/caption_agent.py:127-148`): every family is a
+    function of (count, nearest (distance, view, xy)) for the asked
+    category — exactly the payload of the question-adjacent fact line."""
     obj_word = target_obj if target_obj else "object"
-    nearest = min(matches, key=lambda t: t[0], default=None)
 
     # distance questions answer with the nearest matching object's range
     if re.search(r"\bhow far\b|\bdistance\b", question, re.IGNORECASE):
-        if distances:
+        if nearest is not None and nearest[0] < 1e9:
             return (f"The nearest <obj>{obj_word}</obj> is "
-                    f"<dst>{min(distances):.1f}m</dst> away.")
+                    f"<dst>{nearest[0]:.1f}m</dst> away.")
         return (f"There is no <obj>{obj_word}</obj> visible to measure "
                 "a distance to.")
 
@@ -325,6 +322,57 @@ def answer_mqa_from_caption(question: str, caption: Dict) -> str:
         yn = "yes" if count > 0 else "no"
         return f"<ans>{yn}</ans>, there are {target}."
     return f"There are {target}."
+
+
+def answer_mqa_from_caption(question: str, caption: Dict) -> str:
+    """Count/existence answering over caption['objects'], emitting the
+    nuScenes-MQA XML contract (`src/agents/structure_caption/
+    caption_agent.py:127-148`)."""
+    target_obj, target_cam, count, matches = _question_matches(
+        question, caption)
+    nearest = min(matches, key=lambda t: t[0], default=None)
+    return _format_mqa_answer(question, target_obj, count, nearest)
+
+
+def answer_mqa_from_facts(question: str, facts: str) -> Optional[str]:
+    """Answer from the question-adjacent fact line alone (the inverse of
+    ``question_facts``) — the deterministic-retrieval path the MQA prompt
+    asks the model to perform.  Since round 3 the MQA prompt carries NO
+    raw record lists (build_mqa_messages strips them — the model counts
+    records at only ~50-60% at scene scale), so the teacher must answer
+    from the same fact line the student reads.  Returns None when the
+    line doesn't parse (caller falls back to the caption-objects path)."""
+    m = re.match(r"Counts for this question:\s*(.+?)\.?\s*$", facts.strip())
+    if not m:
+        return None
+    body = m.group(1)
+    target_obj = None
+    count = None
+    d = view = xy = None
+    for part in body.split("; "):
+        part = part.strip()
+        nm = re.match(r"(\d+)\s+(.+?)\s+in\s+(.+)$", part)
+        if nm and count is None:
+            # first clause: in-<cam> count for camera-scoped questions,
+            # scene count otherwise (question_facts emits it first)
+            count = int(nm.group(1))
+            target_obj = nm.group(2)
+            continue
+        if part.startswith("nearest"):
+            dm = re.search(r"([\d.]+)m away", part)
+            if dm:
+                d = float(dm.group(1))
+            vm = re.search(r"in ([a-z ]+?)(?: at|$)", part)
+            if vm:
+                view = vm.group(1).strip()
+            xm = re.search(r"at \((-?[\d.]+), (-?[\d.]+)\)", part)
+            if xm:
+                xy = (float(xm.group(1)), float(xm.group(2)))
+    if count is None:
+        return None
+    nearest = (d if d is not None else 1e9, view, xy) \
+        if (d is not None or view is not None or xy is not None) else None
+    return _format_mqa_answer(question, target_obj, count, nearest)
 
 
 # ---------------------------------------------------------------------------
@@ -764,6 +812,14 @@ class AnalyticBackend(Backend):
     def _mqa(self, text: str) -> str:
         q = re.search(r"Question:\s*(.+)", text)
         question = q.group(1).strip() if q else text
+        # facts-first: the MQA prompt's record lists are stripped (the
+        # fact line is the authoritative retrieval payload); the caption
+        # parse remains for prompts without one (no-<obj> questions)
+        f = re.search(r"Counts for this question:[^\n]*", text)
+        if f:
+            ans = answer_mqa_from_facts(question, f.group(0))
+            if ans is not None:
+                return ans
         m = re.search(r"Scene Information:\s*(\{.*\})", text, re.DOTALL)
         caption = {}
         if m:

@@ -100,6 +100,20 @@ def extract_marker_lines(text: str) -> List[str]:
     return out
 
 
+def strip_marker_lines(text: str) -> str:
+    """``text`` with the raw ``*_JSON`` marker lines removed (COUNTS
+    tally lines are kept — they are the human/model-readable digest).
+
+    Used by the MQA prompt: the raw record lists invite the model to
+    COUNT entries, a skill it performs at ~50-60% at scene scale (round-3
+    held-out measurement), while the host-computed fact line and COUNTS
+    tally already carry every number a question needs.  Removing the
+    records makes deterministic retrieval the only available strategy."""
+    prefixes = marker_prefixes()
+    return "\n".join(l for l in text.splitlines()
+                     if not l.strip().startswith(prefixes))
+
+
 def carry_markers(text: str, sources: Iterable[str]) -> str:
     """Return ``text`` with the marker lines of ``sources`` re-appended.
 

@@ -338,41 +338,63 @@ def test_camera_pixel_detector_matches_ground_truth():
     assert agree / total >= 0.8  # occasional overlap-merge is tolerated
 
 
-def test_mqa_prompt_substitutes_host_objects():
-    """The MQA prompt embeds the marker-derived (host-exact) objects list
-    in place of the model-generated one: the distilled model counts the
-    caption's objects JSON entries (round-3 ablation), so a lossy
-    model-emitted list would make every count answer wrong even when the
-    adjacent fact line is correct.  Prompt-only — the caller's caption
-    dict must not be mutated."""
+def test_mqa_prompt_strips_records_and_answers_from_facts():
+    """Round-3 MQA prompt contract: the embedded caption carries NO raw
+    record lists (objects array and *_JSON marker lines stripped — the
+    model counts records at only ~50-60% at scene scale) while the
+    question-adjacent fact line, computed from the markers BEFORE the
+    strip, carries every number; and the analytic teacher answers from
+    that same fact line (answer_mqa_from_facts == the caption-objects
+    path on every family)."""
     import json as _json
 
     from msc_tpu.agents.caption import build_mqa_messages
-    from msc_tpu.serving.analytic import OBJ_MARKER
+    from msc_tpu.serving.analytic import (OBJ_MARKER, AnalyticBackend,
+                                          answer_mqa_from_caption,
+                                          answer_mqa_from_facts,
+                                          marker_objects, question_facts)
 
     markers = [
         {"category": "truck", "direction": "front", "distance": 10.0,
-         "position": [10.0, 0.0], "state": "stopped"},
-        {"category": "truck", "direction": "back", "distance": 20.0,
-         "position": [-20.0, 0.0], "state": "stopped"},
+         "position": [10.0, 0.5], "state": "stopped"},
+        {"category": "truck", "direction": "back_left", "distance": 20.0,
+         "position": [-14.0, 14.0], "state": "stopped"},
+        {"category": "car", "direction": "front", "distance": 5.5,
+         "position": [5.5, 0.0], "state": "moving"},
     ]
     lossy = [{"category": "truck", "position": "front, 10.0m"}]
-    caption = {"objects": lossy,
+    caption = {"objects": lossy, "scene_summary": "street",
                "full_caption": f"Scene.\n{OBJ_MARKER} {_json.dumps(markers)}"}
-    msgs = build_mqa_messages(
-        "How many <obj>trucks</obj> are in the scene?", caption)
+
+    q = "How many <obj>trucks</obj> are in the scene?"
+    msgs = build_mqa_messages(q, caption)
     body = msgs[1]["content"]
     scene_json = _json.loads(
         body.split("Scene Information:\n")[1].split("\n\nQuestion:")[0])
-    assert len(scene_json["objects"]) == 2          # host-exact, not lossy
-    assert scene_json["objects"][0]["state"] == "stopped"  # analytic format
-    assert caption["objects"] is lossy               # caller dict untouched
-    assert "Counts for this question: 2 trucks" in body
+    assert "objects" not in scene_json            # record lists stripped
+    assert OBJ_MARKER not in scene_json["full_caption"]
+    assert "Counts for this question: 2 trucks" in body  # facts survive
+    assert caption["objects"] is lossy            # caller dict untouched
 
-    # no markers -> model objects pass through unchanged
-    cap2 = {"objects": lossy, "full_caption": "Scene with no markers."}
-    body2 = build_mqa_messages("How many <obj>trucks</obj> are in the "
-                               "scene?", cap2)[1]["content"]
-    scene2 = _json.loads(
-        body2.split("Scene Information:\n")[1].split("\n\nQuestion:")[0])
-    assert len(scene2["objects"]) == 1
+    # teacher parity: fact-line answering == caption-objects answering
+    # on every question family the eval asks
+    cap_exact = {"objects": marker_objects(caption["full_caption"])}
+    questions = [
+        q,
+        "How many <obj>trucks</obj> are in <cam>front camera</cam>?",
+        "Is there a <obj>truck</obj> in <cam>front camera</cam>?",
+        "How far is the nearest <obj>truck</obj>?",
+        "Where is the <obj>truck</obj> located?",
+        "Which camera shows the <obj>truck</obj>?",
+        "How many <obj>buses</obj> are in the scene?",
+    ]
+    for qq in questions:
+        facts = question_facts(qq, caption)
+        assert facts is not None, qq
+        assert (answer_mqa_from_facts(qq, facts)
+                == answer_mqa_from_caption(qq, cap_exact)), (qq, facts)
+
+    # the analytic backend end-to-end answers from the stripped prompt
+    be = AnalyticBackend()
+    ans = be.complete(messages=msgs, temperature=0.0, task="mqa_answer")
+    assert "<cnt>2</cnt>" in ans
