@@ -575,42 +575,15 @@ def decode_step_contig(params: Dict, cfg: VLMConfig, tokens: jax.Array,
                        cache: ContigCache) -> Tuple[jax.Array, ContigCache]:
     """One decode step, contiguous layout: every row writes at cache.pos.
 
-    When the engine installed stacked weights under ``params["fused"]``
-    (single-chip dense serving), the whole layer stack runs as ONE Pallas
-    kernel (`ops/fused_decode.py`) instead of ~80 small XLA ops.
+    (A whole-stack fused Pallas kernel variant of this step was
+    prototyped and retired in round 3 — it lost to this packed-XLA step,
+    216 vs 177 us, and its grouped-matmul rewrite hit Mosaic lowering
+    limits on v5e; the measured study lives in PERF.md.)
     """
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     B = tokens.shape[0]
     Tmax = cache.k.shape[2]
     pos = cache.pos
-
-    fused = params.get("fused")
-    if fused is not None and (
-            2 * B * Tmax * cfg.n_kv_heads * cfg.head_dim
-            * cache.k.dtype.itemsize > 20 * 2 ** 20):
-        fused = None  # K/V scratch would blow the VMEM budget; XLA path
-    if fused:
-        from msc_tpu.ops.fused_decode import fused_decode_layers
-
-        KV, hd, L = cfg.n_kv_heads, cfg.head_dim, cfg.n_layers
-        x = params["embed"].astype(dtype)[tokens]          # (B, D)
-        cfg_tuple = (cfg.n_heads, KV, hd, cfg.mlp_hidden, Tmax,
-                     cfg.rope_theta)
-        x, k_new, v_new = fused_decode_layers(
-            x, fused, cache.k, cache.v, cache.valid, pos,
-            cfg_tuple, interpret=jax.default_backend() == "cpu")
-        k_cache = jax.lax.dynamic_update_slice(
-            cache.k, k_new.reshape(L, B, 1, KV, hd).astype(cache.k.dtype),
-            (0, 0, pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            cache.v, v_new.reshape(L, B, 1, KV, hd).astype(cache.v.dtype),
-            (0, 0, pos, 0, 0))
-        valid = cache.valid.at[:, pos].set(True)
-        xf = _rmsnorm(x, params["ln_f"])
-        logits = jnp.dot(xf, params["embed"].T.astype(dtype),
-                         preferred_element_type=jnp.float32)
-        return logits.astype(jnp.float32), ContigCache(
-            k_cache, v_cache, valid, pos + 1)
 
     x = params["embed"].astype(dtype)[tokens][:, None, :]
     k_cache, v_cache = cache.k, cache.v

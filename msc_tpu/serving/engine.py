@@ -117,16 +117,10 @@ class InferenceEngine:
             # the decode step runs 5 weight matmuls/layer instead of 8
             # (the TP mesh path shards the unpacked names instead)
             params = {**params, "dec": dec.pack_for_decode(params["dec"])}
-            # MSC_FUSED_DECODE=1: run the whole decode-step layer stack as
-            # ONE Pallas kernel (ops/fused_decode.py); dense families on
-            # real TPU backends only (the CPU interpreter is test-only)
-            if (_os.environ.get("MSC_FUSED_DECODE", "0") == "1"
-                    and jax.default_backend() != "cpu"):
-                from msc_tpu.ops.fused_decode import stack_decoder_layers
-
-                fused = stack_decoder_layers(params["dec"])
-                if fused:
-                    params["dec"]["fused"] = fused
+            # (A whole-stack fused Pallas decode kernel was prototyped
+            # and retired in round 3: it lost to the packed-XLA step —
+            # 216 vs 177 us — and its grouped-matmul rewrite hit Mosaic
+            # lowering limits on v5e; see PERF.md "fused decode kernel".)
         # seq_mesh: serving-side sequence parallelism — contiguous prefill
         # attention rides ring attention over the mesh's ``seq`` axis
         self.vlm = VLM(cfg, params, seq_mesh=seq_mesh)

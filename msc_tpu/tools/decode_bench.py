@@ -1,11 +1,13 @@
-"""Microbenchmark: per-step decode cost (XLA vs packed vs fused Pallas).
+"""Microbenchmark: per-step decode cost (plain vs packed layouts).
 
 Times `decoder.decode_step_contig` per token at serving shapes on the
-current backend, for three weight layouts:
+current backend, for two weight layouts:
 
 - plain:  per-layer wq/wk/wv/w_gate/w_up matmuls (the training layout);
-- packed: q|k|v and gate|up fused into single matmuls (pack_for_decode);
-- fused:  the whole layer stack as ONE Pallas kernel (ops/fused_decode).
+- packed: q|k|v and gate|up fused into single matmuls (pack_for_decode).
+
+(A whole-stack fused Pallas layout was measured here and retired in
+round 3 — 216 vs 177 us/step against packed; study in PERF.md.)
 
 Also asserts greedy-token parity between the layouts over a short
 decode so a faster path can never silently change outputs.
@@ -42,13 +44,10 @@ def main():
     from msc_tpu.models import decoder as dec
     from msc_tpu.models.tokenizer import IMG_ID, PAD_ID
     from msc_tpu.models.vlm import init_vlm_params
-    from msc_tpu.ops.fused_decode import stack_decoder_layers
-
     cfg = (VLMConfig() if args.preset == "msc-vlm-s"
            else vlm_preset(args.preset))
     B, T = args.batch, args.t
     t_max = args.t_max or T + 256
-    on_cpu = jax.default_backend() == "cpu"
     print(f"backend={jax.default_backend()} preset={args.preset} "
           f"B={B} T={T} t_max={t_max} steps={args.steps}")
 
@@ -59,8 +58,6 @@ def main():
             if x.dtype == jnp.float32 else x, params)
     params = jax.device_put(params)
     packed = dec.pack_for_decode(params)
-    fused = dict(packed)
-    fused["fused"] = stack_decoder_layers(params)
 
     rng = np.random.default_rng(0)
     ids = np.full((B, T), PAD_ID, np.int32)
@@ -101,11 +98,7 @@ def main():
     steps = args.steps
     tok_plain = run("plain", params, steps)
     tok_packed = run("packed", packed, steps)
-    variants = [("packed", tok_packed)]
-    if not on_cpu and fused["fused"]:
-        tok_fused = run("fused", fused, steps)
-        variants.append(("fused", tok_fused))
-    for name, toks in variants:
+    for name, toks in [("packed", tok_packed)]:
         same = (toks == tok_plain).mean()
         print(f"parity {name} vs plain: {same * 100:.1f}% tokens identical")
 

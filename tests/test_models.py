@@ -259,46 +259,6 @@ def test_moe_capacity_drops_overflow_gracefully():
     assert np.isfinite(np.asarray(out)).all()
 
 
-@pytest.mark.parametrize("t_max", [64, 40])
-def test_fused_decode_matches_xla_step(t_max):
-    """The fused Pallas decode kernel (whole layer stack in one kernel,
-    ops/fused_decode.py) must reproduce decode_step_contig exactly at f32
-    on the interpreter: same logits, same cache writes, over several
-    steps.  t_max=64 exercises the live-length-bounded chunked K/V DMA
-    (4 chunks); t_max=40 the whole-span fallback (n_chunks=1)."""
-    from msc_tpu.models import decoder as dec
-    from msc_tpu.ops.fused_decode import stack_decoder_layers
-
-    params = init_vlm_params(jax.random.PRNGKey(5), TINY)["dec"]
-    fused_params = dict(params)
-    fused_params["fused"] = stack_decoder_layers(params)
-    B, T = 3, 32
-    rng = np.random.default_rng(0)
-    ids = np.full((B, T), 300, np.int32)
-    ids[:, T // 2:] = rng.integers(1, 200, size=(B, T // 2))
-    ids[:, : T // 2] = 256  # PAD left-padding (tokenizer.PAD_ID)
-    from msc_tpu.models.tokenizer import IMG_ID, PAD_ID
-
-    logits, cache = dec.prefill_contig(params, TINY, jnp.asarray(ids),
-                                       None, t_max, PAD_ID, IMG_ID)
-    cache_f = dec.ContigCache(cache.k, cache.v, cache.valid, cache.pos)
-
-    toks = rng.integers(1, 200, size=(6, B)).astype(np.int32)
-    for step in range(6):
-        t = jnp.asarray(toks[step])
-        logits_x, cache = dec.decode_step_contig(params, TINY, t, cache)
-        logits_f, cache_f = dec.decode_step_contig(fused_params, TINY, t,
-                                                   cache_f)
-        np.testing.assert_allclose(np.asarray(logits_x),
-                                   np.asarray(logits_f),
-                                   rtol=2e-5, atol=2e-5)
-        assert int(cache.pos) == int(cache_f.pos)
-        np.testing.assert_allclose(np.asarray(cache.k),
-                                   np.asarray(cache_f.k),
-                                   rtol=2e-5, atol=2e-5)
-    assert bool(np.all(np.asarray(cache.valid) == np.asarray(cache_f.valid)))
-
-
 def test_train_step_with_image_pairs():
     """Image-bearing distillation pairs (camera describe etc.) train the
     ViT path: a jitted step over (B, T) ids with (B*V, S, S, 3) images
