@@ -189,11 +189,11 @@ def _question_matches(question: str, caption: Dict):
                 continue
             pos = str(o.get("position", "")).lower().replace("_", " ")
             dist = None
-            m = re.search(r"([\d.]+)\s*m", pos)
+            m = re.search(r"(\d+(?:\.\d+)?)\s*m", pos)
             if m:
                 dist = float(m.group(1))
             xy = None
-            m = re.search(r"\((-?[\d.]+),\s*(-?[\d.]+)\)", pos)
+            m = re.search(r"\((-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\)", pos)
             if m:
                 xy = (float(m.group(1)), float(m.group(2)))
             direction = normalize_camera(pos.split(",")[0])
@@ -359,13 +359,13 @@ def answer_mqa_from_facts(question: str, facts: str) -> Optional[str]:
             target_obj = nm.group(2)
             continue
         if part.startswith("nearest"):
-            dm = re.search(r"([\d.]+)m away", part)
+            dm = re.search(r"(\d+(?:\.\d+)?)m away", part)
             if dm:
                 d = float(dm.group(1))
             vm = re.search(r"in ([a-z ]+?)(?: at|$)", part)
             if vm:
                 view = vm.group(1).strip()
-            xm = re.search(r"at \((-?[\d.]+), (-?[\d.]+)\)", part)
+            xm = re.search(r"at \((-?\d+(?:\.\d+)?), (-?\d+(?:\.\d+)?)\)", part)
             if xm:
                 xy = (float(xm.group(1)), float(xm.group(2)))
     if count is None:

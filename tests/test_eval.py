@@ -398,3 +398,19 @@ def test_mqa_prompt_strips_records_and_answers_from_facts():
     be = AnalyticBackend()
     ans = be.complete(messages=msgs, temperature=0.0, task="mqa_answer")
     assert "<cnt>2</cnt>" in ans
+
+
+def test_garbled_numbers_never_crash_matching():
+    """An undertrained model can emit malformed numbers ('-4.9.9') in
+    caption position strings; the matcher regexes must not feed them to
+    float() (a round-3 CPU eval lost a whole config to exactly this)."""
+    from msc_tpu.serving.analytic import (answer_mqa_from_caption,
+                                          answer_mqa_from_facts)
+
+    cap = {"objects": [{"category": "truck",
+                        "position": "back, -4.9.9m, at (-4.9.9, 7..0)"}]}
+    q = "How many <obj>trucks</obj> are in the scene?"
+    assert "<cnt>1</cnt>" in answer_mqa_from_caption(q, cap)
+    assert answer_mqa_from_facts(
+        q, "Counts for this question: 1 trucks in the scene; "
+           "nearest 4.9.9m away in back at (-4.9.9, 7..0).") is not None
