@@ -22,6 +22,7 @@ model calls, kernels, and MQA-ready caption generation.  The bench tail
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -32,8 +33,67 @@ TIMED = int(os.environ.get("MSC_BENCH_SCENES", "24"))
 BACKEND = os.environ.get("MSC_BENCH_BACKEND", "vlm")
 TARGET = 2.0  # scenes/sec/chip, BASELINE.json
 
+PROBE_TRIES = int(os.environ.get("MSC_BENCH_PROBE_TRIES", "3"))
+PROBE_TIMEOUT = float(os.environ.get("MSC_BENCH_PROBE_TIMEOUT", "180"))
+
+
+def probe_backend() -> str | None:
+    """Bounded liveness probe for the JAX backend, in a SUBPROCESS.
+
+    The axon tunnel has two observed failure modes (PERF.md): a fast
+    `UNAVAILABLE: TPU backend setup/compile error` (round-3 bench, rc=1)
+    and an indefinite in-process HANG during backend init (not
+    interruptible from Python).  Probing in a subprocess with a timeout
+    survives both; the bench then emits a machine-readable error record
+    instead of a traceback (round-3 VERDICT item 2 / weak item 3).
+
+    Returns None when the backend is live, else a short error string.
+    """
+    # honor MSC_PLATFORM exactly like jax_setup.enable_compilation_cache
+    # does (a CPU-forced bench must probe the CPU backend, not the tunnel)
+    code = ("import os, jax\n"
+            "p = os.environ.get('MSC_PLATFORM')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "d = jax.devices()\n"
+            "print(jax.default_backend(), len(d))")
+    last = "unknown"
+    for attempt in range(PROBE_TRIES):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            last = f"backend init hang (> {PROBE_TIMEOUT:.0f}s)"
+            print(f"probe {attempt + 1}/{PROBE_TRIES}: {last}",
+                  file=sys.stderr, flush=True)
+            continue
+        if r.returncode == 0:
+            return None
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        last = tail[-1][:200] if tail else f"rc={r.returncode}"
+        print(f"probe {attempt + 1}/{PROBE_TRIES}: {last}",
+              file=sys.stderr, flush=True)
+        time.sleep(min(60.0, 10.0 * (attempt + 1)))
+    return last
+
 
 def main():
+    err = probe_backend()
+    if err is not None:
+        # parseable outage record: value 0 with an explicit error field,
+        # never a traceback — the driver's BENCH_r{N}.json then carries a
+        # machine-readable "backend unavailable" instead of parsed: null
+        print(json.dumps({
+            "metric": "scenes/sec/chip (6-cam+LiDAR->JSON caption, full "
+                      f"pipeline, {BACKEND} backend)",
+            "value": 0.0,
+            "unit": "scenes/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"backend unavailable after {PROBE_TRIES} probes: "
+                     f"{err}",
+        }))
+        return
+
     from msc_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()

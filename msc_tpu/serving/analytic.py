@@ -181,11 +181,16 @@ def _question_matches(question: str, caption: Dict):
 
     count = 0
     matches = []  # (distance, direction, (x, y) or None)
-    if target_obj is not None:
-        want = normalize_object_name(target_obj)
+    if caption.get("objects"):
+        # no <obj> tag = every object matches: untagged questions ask
+        # about the scene total ("how many objects ..."), and since the
+        # stripped MQA prompt carries no record lists the fact line must
+        # still carry that total (round-3 ADVICE: question_facts returned
+        # None here, so the teacher answered <cnt>0</cnt> scene-blind)
+        want = normalize_object_name(target_obj) if target_obj else None
         for o in caption.get("objects", []):
             got = normalize_object_name(o.get("category", ""))
-            if got != want:
+            if want is not None and got != want:
                 continue
             pos = str(o.get("position", "")).lower().replace("_", " ")
             dist = None
@@ -247,7 +252,9 @@ def question_facts(question: str, caption: Dict) -> Optional[str]:
     answers with (`_question_matches`), so distillation reduces the hard
     count_scene/count_camera families (measured 46%/59% when the model
     had to pick the entry out of an 11-class tally line) to copying the
-    adjacent fact.  Returns None for questions without an <obj> tag.
+    adjacent fact.  Questions without an <obj> tag get the scene-total
+    tally ("N objects in the scene"); returns None only when there are
+    no objects to count at all.
 
     Fact source: the marker lines in caption['full_caption'] when present
     — they are HOST-injected in every backend (utils/markers.py), whereas
@@ -261,13 +268,20 @@ def question_facts(question: str, caption: Dict) -> Optional[str]:
     target_obj, target_cam, count, matches = _question_matches(
         question, caption)
     if target_obj is None:
-        return None
+        # untagged questions get the scene-total tally ONLY when they are
+        # count/existence-shaped ("how many objects ..."); other untagged
+        # questions (weather, free-form) carry no fact line
+        if not matches or not re.search(
+                r"\bhow many\b|\bare there\b|\bis there\b|\bcount\b|"
+                r"\bobjects?\b", question, re.IGNORECASE):
+            return None
+    obj_word = target_obj if target_obj else "objects"
     parts = []
     if target_cam is not None:
-        parts.append(f"{count} {target_obj} in {target_cam}")
-        parts.append(f"{len(matches)} {target_obj} in the whole scene")
+        parts.append(f"{count} {obj_word} in {target_cam}")
+        parts.append(f"{len(matches)} {obj_word} in the whole scene")
     else:
-        parts.append(f"{count} {target_obj} in the scene")
+        parts.append(f"{count} {obj_word} in the scene")
     nearest = min(matches, key=lambda t: t[0], default=None)
     if nearest is not None:
         d, view, xy = nearest

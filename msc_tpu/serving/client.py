@@ -59,6 +59,16 @@ class ChatClient:
 
     def __init__(self, backend: Backend):
         self.backend = backend
+        # single-worker dispatch pool for call_llm_batch_async — created
+        # eagerly (the thread itself only spawns on first submit) so two
+        # racing first calls can't each build a pool and leak one
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._async_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="msc-client-async")
+
+    def close(self):
+        self._async_pool.shutdown(wait=False)
 
     def call_llm(self, messages: List[dict], temperature: float = 0.7,
                  max_retries: int = 8, response_format: Any = None,
@@ -87,35 +97,28 @@ class ChatClient:
         engine's DEVICE_LOCK (one-TPU-client rule), but the CALLER's host
         work (pixel detection, geometry, prompt building for other
         agents) overlaps the device decode (round-2 VERDICT item 8)."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        if not hasattr(self, "_async_pool"):
-            self._async_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="msc-client-async")
         return self._async_pool.submit(self.call_llm_batch, calls)
 
     def call_llm_batch(self, calls: List[dict]) -> List[Any]:
         """Batched seam: each element is a kwargs dict for call_llm.
-        Groups by response_format so the VLM backend runs homogeneous
-        constrained batches."""
-        results: List[Any] = [None] * len(calls)
-        groups: Dict[Any, List[int]] = {}
-        for i, c in enumerate(calls):
-            key = id(c.get("response_format"))
-            groups.setdefault(key, []).append(i)
-        for idxs in groups.values():
-            batch = [dict(
-                messages=calls[i]["messages"],
-                temperature=calls[i].get("temperature", 0.0),
-                response_format=calls[i].get("response_format"),
-                task=calls[i].get("task"),
-                images=calls[i].get("images", ()),
-                max_new_tokens=calls[i].get("max_new_tokens"),
-            ) for i in idxs]
-            texts = self.backend.complete_batch(batch)
-            for i, text in zip(idxs, texts):
-                rf = calls[i].get("response_format")
-                results[i] = text if rf is None else _parse_structured(text, rf)
+        The FULL call list goes to the backend in one complete_batch —
+        the backend owns batch formation (VLMBackend's group_mixed_calls
+        coalesces free-text calls into schema batches via the permissive
+        FSM state), so mixed-schema Layer-1 fusion really is one device
+        batch, not one batch per response_format."""
+        batch = [dict(
+            messages=c["messages"],
+            temperature=c.get("temperature", 0.0),
+            response_format=c.get("response_format"),
+            task=c.get("task"),
+            images=c.get("images", ()),
+            max_new_tokens=c.get("max_new_tokens"),
+        ) for c in calls]
+        texts = self.backend.complete_batch(batch)
+        results: List[Any] = []
+        for c, text in zip(calls, texts):
+            rf = c.get("response_format")
+            results.append(text if rf is None else _parse_structured(text, rf))
         return results
 
 
@@ -322,7 +325,11 @@ def make_backend(model_config, vlm_params=None) -> Backend:
         elif sidecar and os.path.isfile(sidecar):
             with open(sidecar) as f:
                 name = f.read().strip()
-            if name and name != "msc-vlm-s":
+            # the sidecar always wins when present — including "msc-vlm-s":
+            # a default-family checkpoint must restore as msc-vlm-s even if
+            # model_config.small_model names a larger preset (the sidecar
+            # exists precisely to prevent that deep-in-restore shape error)
+            if name:
                 vlm_cfg = vlm_preset(name)
         if vlm_params is None and getattr(model_config, "vlm_ckpt", ""):
             from msc_tpu.utils.checkpoint import restore_params

@@ -455,6 +455,11 @@ def main():
     ap.add_argument("--save-every", type=int, default=2500,
                     help="overwrite --save dir every N steps so a crashed "
                          "run leaves a usable checkpoint (0 = final only)")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore params+optimizer+step from "
+                         "<save>__state and continue — the watchdog "
+                         "(tools/watchdog.py) relaunches a stalled run "
+                         "with this flag so no steps are lost")
     args = ap.parse_args()
 
     from msc_tpu.utils.jax_setup import enable_compilation_cache
@@ -477,16 +482,6 @@ def main():
     cfg = (VLMConfig() if args.preset == "msc-vlm-s"
            else vlm_preset(args.preset))
     tokenizer = make_tokenizer(cfg)  # MUST match the serving tokenizer
-
-    if args.save:
-        # self-describing checkpoint: a sidecar records the preset so
-        # serving (make_backend) reconstructs the right architecture
-        # without the caller passing it (sidecar, not in-dir — orbax
-        # owns the directory contents and replaces them on save)
-        os.makedirs(os.path.dirname(os.path.abspath(args.save)) or ".",
-                    exist_ok=True)
-        with open(os.path.abspath(args.save) + ".preset", "w") as f:
-            f.write(args.preset + "\n")
 
     print(f"building {args.tasks}-task dataset from {args.scenes} scenes "
           f"(configs={args.configs})...")
@@ -557,13 +552,50 @@ def main():
     state = init_train_state(params, optimizer)
     step_fn = make_train_step(cfg, optimizer)
 
-    print("pre-training eval...")
-    engine = InferenceEngine(cfg, params=jax.device_get(state.params), seed=0)
-    before, _ = evaluate(engine, eval_pairs, args.eval_n)
-    print(f"BEFORE: {before}")
-    del engine
+    def save_ckpt(st, step):
+        """Serving checkpoint + full-state resume point + preset sidecar.
+        All written AT save time (round-3 ADVICE: a startup-written
+        sidecar dangles if the run dies before any save)."""
+        from msc_tpu.utils.checkpoint import save_params
 
-    rng = np.random.default_rng(0)
+        host = jax.device_get(st)
+        save_params(args.save, host.params)
+        save_params(args.save + "__state", host)
+        with open(os.path.abspath(args.save) + ".preset", "w") as f:
+            f.write(args.preset + "\n")
+        with open(os.path.abspath(args.save) + ".step", "w") as f:
+            f.write(f"{step}\n")
+
+    start_step = 0
+    if args.resume and args.save and \
+            os.path.isdir(os.path.abspath(args.save) + "__state"):
+        from msc_tpu.utils.checkpoint import restore_params
+
+        state = restore_params(os.path.abspath(args.save) + "__state",
+                               like=state)
+        state = type(state)(*state) if isinstance(state, tuple) else state
+        step_file = os.path.abspath(args.save) + ".step"
+        if os.path.isfile(step_file):
+            with open(step_file) as f:
+                start_step = int(f.read().strip())
+        else:
+            start_step = int(jax.device_get(state.step))
+        print(f"resumed from {args.save}__state at step {start_step}",
+              flush=True)
+
+    if start_step == 0:
+        print("pre-training eval...")
+        engine = InferenceEngine(cfg, params=jax.device_get(state.params),
+                                 seed=0)
+        before, _ = evaluate(engine, eval_pairs, args.eval_n)
+        print(f"BEFORE: {before}")
+        del engine
+    else:
+        before = "(skipped on resume)"
+
+    # resume seeds the stream differently so the continued run doesn't
+    # replay the exact batch sequence already consumed before the crash
+    rng = np.random.default_rng(start_step)
     # sample buckets proportionally to their pair counts
     weights = np.array([len(b[0]) for b in buckets], np.float64)
     weights /= weights.sum()
@@ -571,7 +603,11 @@ def main():
 
     t0 = time.time()
     loss = float("nan")
-    for step in range(args.steps):
+    # heartbeat every <=200 steps: the stall watchdog (tools/watchdog.py)
+    # keys on log growth, so a 26k-step run must not go quiet for the
+    # 1300 steps a steps//20 cadence would allow
+    log_every = max(1, min(200, args.steps // 20))
+    for step in range(start_step, args.steps):
         ids_b, mask_b, bb, imgs_b = buckets[rng.choice(len(buckets),
                                                        p=weights)]
         idx = rng.integers(0, len(ids_b), size=bb)
@@ -583,14 +619,12 @@ def main():
             imgs = jnp.asarray(raw.reshape((-1,) + raw.shape[2:]))
         state, loss = step_fn(state, jnp.asarray(ids_b[idx]), imgs,
                               jnp.asarray(mask_b[idx]))
-        if step % max(1, args.steps // 20) == 0:
+        if step % log_every == 0:
             print(f"step {step:6d}  loss {float(loss):.4f}  "
                   f"({(time.time()-t0):.0f}s)", flush=True)
         if (args.save and args.save_every and step
                 and step % args.save_every == 0):
-            from msc_tpu.utils.checkpoint import save_params
-
-            save_params(args.save, jax.device_get(state.params))
+            save_ckpt(state, step)
             print(f"  checkpoint@{step} -> {args.save}", flush=True)
         if args.eval_every and step and step % args.eval_every == 0:
             e = InferenceEngine(cfg, params=jax.device_get(state.params),
@@ -612,9 +646,7 @@ def main():
         print("  ", repr(p[:120]))
 
     if args.save:
-        from msc_tpu.utils.checkpoint import save_params
-
-        save_params(args.save, trained)
+        save_ckpt(state, args.steps)
         print(f"checkpoint -> {args.save}")
 
 

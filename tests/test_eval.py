@@ -246,6 +246,11 @@ def test_question_facts_line():
     f = question_facts("How many <obj>buses</obj> are in the scene?", caption)
     assert "0 buses in the scene" in f
     assert question_facts("What is the weather?", caption) is None
+    # untagged count questions still get a fact line with the scene total
+    # (round-3 ADVICE: the stripped prompt otherwise leaves the teacher
+    # scene-blind and it answers <cnt>0</cnt> for every untagged count)
+    f = question_facts("How many objects are in the scene?", caption)
+    assert "3 objects in the scene" in f
 
     msgs = build_mqa_messages("How many <obj>cars</obj> are in the scene?",
                               caption)
