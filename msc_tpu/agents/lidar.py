@@ -288,6 +288,19 @@ class LiDARAgent(BaseAgent):
             return [], []
         point_cluster = clusters["point_cluster"]
 
+        # host post-pass: re-join range-fragmented clusters (a far bus
+        # splits into face fragments under fixed eps; the fragments then
+        # classify as two-wheelers/pedestrians).  Applies identically to
+        # the device voxel-CC and host DBSCAN backends.
+        from msc_tpu.ops.clustering import (merge_fragment_clusters,
+                                            split_oversize_clusters)
+
+        point_cluster, k = merge_fragment_clusters(
+            pc_np, point_cluster, k, eps=self.cfg.dbscan_eps)
+        # ...and split contact blobs (two touching objects in one
+        # cluster) whose box exceeds any single object's footprint
+        point_cluster, k = split_oversize_clusters(pc_np, point_cluster, k)
+
         # per-cluster geometry (host; k is small)
         metas = []
         for c in range(k):

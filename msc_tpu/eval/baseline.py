@@ -128,8 +128,17 @@ class RawVLMBaseline:
             keep = uniq[scene_offset: scene_offset + num_test_scenes]
             questions = questions[questions["sample_token"].isin(keep)]
 
+        os.makedirs(output_dir, exist_ok=True)
+        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        out_csv = os.path.join(output_dir, f"baseline_results_{ts}.csv")
+
+        import time as _time
+
         rows = []
-        for token, qgroup in questions.groupby("sample_token"):
+        n_scenes = questions["sample_token"].nunique()
+        for si, (token, qgroup) in enumerate(
+                questions.groupby("sample_token")):
+            t0 = _time.time()
             try:
                 sample = loader.load_sample(token)
                 caption = self.generate_scene_caption(
@@ -153,11 +162,15 @@ class RawVLMBaseline:
                     "predicted_answer": pred,
                     "scene_caption": caption,
                 })
+            # incremental persistence: a killed run keeps every finished
+            # scene (round-3 lost a 4-scene partial to the write-at-end
+            # design; parity with eval/runner.py's per-scene CSV flush)
+            pd.DataFrame(rows).to_csv(out_csv, index=False)
+            print(f"  baseline: scene {si + 1}/{n_scenes} ({token}) "
+                  f"{len(qgroup)} questions in {_time.time() - t0:.0f}s "
+                  f"-> {out_csv}", flush=True)
 
         df = pd.DataFrame(rows)
-        os.makedirs(output_dir, exist_ok=True)
-        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
-        out_csv = os.path.join(output_dir, f"baseline_results_{ts}.csv")
         df.to_csv(out_csv, index=False)
         print(f"baseline results -> {out_csv}")
         if len(df):

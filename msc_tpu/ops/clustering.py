@@ -208,3 +208,157 @@ def voxel_cluster(
         "mean_intensity": jnp.where(cluster_valid, mean_intensity, 0.0),
         "cluster_valid": cluster_valid,
     }
+
+
+# ---------------------------------------------------------------------------
+# Host post-pass: re-join range-fragmented clusters.
+# ---------------------------------------------------------------------------
+
+def merge_fragment_clusters(pc_np, point_cluster, n_clusters,
+                            eps: float = 0.5, r0: float = 10.0,
+                            min_merge_range: float = 15.0,
+                            max_extent=(12.0, 3.4, 4.2)):
+    """Merge cluster fragments of sparse, far objects (host; K is tiny).
+
+    A fixed clustering eps (0.5 m, reference `src/agents/content_transform/
+    lidar_agent.py:134-150`) under-connects at range: LiDAR return density
+    falls ~1/r^2, so a bus at 30 m splits into face fragments that then
+    classify as bicycles/pedestrians (measured round 4: bus detection 50%,
+    9 ghost two-wheelers over 12 held-out scenes).  The physically right
+    cure is a range-adaptive connection radius; doing that inside the
+    device voxel pass would need a data-dependent grid, so instead the
+    device output gets this O(K^2) host post-pass over cluster AABBs:
+
+    merge clusters i, j when
+      * both are beyond ``min_merge_range`` (near clusters never fragment
+        at eps = 0.5, and keeping the gate high avoids gluing genuinely
+        adjacent near objects), and
+      * the 3D gap between their AABBs is <= eps * clip(r / r0, 1, 4)
+        (the adaptive radius, r = nearer cluster's range), and
+      * the merged AABB still fits a plausible single object
+        (``max_extent``: sorted-xy l, w and height of a bus + slack) —
+        this is what stops a parked row from chaining into one blob.
+
+    Runs to a fixpoint so A-B-C fragment chains join transitively.
+    Returns (point_cluster, n_clusters) with compact relabeled ids.
+    """
+    import numpy as np
+
+    K = int(n_clusters)
+    if K <= 1:
+        return point_cluster, K
+    pts = pc_np[:, :3]
+    mins = np.full((K, 3), np.inf)
+    maxs = np.full((K, 3), -np.inf)
+    lab = point_cluster
+    sel = lab >= 0
+    np.minimum.at(mins, lab[sel], pts[sel])
+    np.maximum.at(maxs, lab[sel], pts[sel])
+
+    parent = np.arange(K)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    changed = True
+    while changed:
+        changed = False
+        roots = sorted({find(i) for i in range(K)})
+        for a_i in range(len(roots)):
+            for b_i in range(a_i + 1, len(roots)):
+                a, b = find(roots[a_i]), find(roots[b_i])
+                if a == b:
+                    continue
+                ca = (mins[a] + maxs[a]) / 2
+                cb = (mins[b] + maxs[b]) / 2
+                r = min(float(np.hypot(ca[0], ca[1])),
+                        float(np.hypot(cb[0], cb[1])))
+                if r < min_merge_range:
+                    continue
+                gap = np.maximum(0.0, np.maximum(mins[a] - maxs[b],
+                                                 mins[b] - maxs[a]))
+                if float(np.linalg.norm(gap)) > eps * np.clip(r / r0, 1.0, 4.0):
+                    continue
+                m_lo = np.minimum(mins[a], mins[b])
+                m_hi = np.maximum(maxs[a], maxs[b])
+                ext = m_hi - m_lo
+                w_l = sorted(ext[:2])
+                if (w_l[1] > max_extent[0] or w_l[0] > max_extent[1]
+                        or ext[2] > max_extent[2]):
+                    continue
+                parent[b] = a
+                mins[a], maxs[a] = m_lo, m_hi
+                changed = True
+
+    roots = np.array([find(i) for i in range(K)])
+    uniq, compact = np.unique(roots, return_inverse=True)
+    if len(uniq) == K:
+        return point_cluster, K
+    out = np.where(sel, compact[np.clip(lab, 0, K - 1)], -1).astype(lab.dtype)
+    return out, int(len(uniq))
+
+
+def split_oversize_clusters(pc_np, point_cluster, n_clusters,
+                            max_width: float = 3.05,
+                            max_length: float = 12.2,
+                            max_rounds: int = 3):
+    """Split clusters whose AABB exceeds any single object's footprint.
+
+    Mock/real scenes can place two objects in contact; eps-clustering then
+    returns one blob (e.g. truck+car measuring 12.3 x 5.1 m) that no
+    single-class rule fits.  No real traffic object is wider than a bus
+    (~2.9 m) or longer than ~12 m, so a cluster beyond ``max_width`` on
+    its SHORT sorted-xy axis (or ``max_length`` on the long one) must be
+    a contact blob: 2-means on xy splits it, repeated up to
+    ``max_rounds`` for triple blobs.  Complementary to
+    ``merge_fragment_clusters`` (which joins same-object fragments; this
+    splits different-object contacts — the two never fight because merge
+    rejects any union exceeding these same bounds).
+    Returns (point_cluster, n_clusters), compact ids.
+    """
+    import numpy as np
+
+    lab = point_cluster.copy()
+    K = int(n_clusters)
+    for _ in range(max_rounds):
+        did = False
+        for c in range(K):
+            idx = np.flatnonzero(lab == c)
+            if len(idx) < 8:
+                continue
+            xy = pc_np[idx, :2]
+            ext = np.sort(xy.max(0) - xy.min(0))
+            if ext[0] <= max_width and ext[1] <= max_length:
+                continue
+            # project onto the xy principal axis (handles diagonal
+            # unions that an axis-aligned cut would shred), then cut at
+            # the DENSITY VALLEY: two objects in contact each stay
+            # dense, so the projected histogram dips at the contact —
+            # unlike Otsu/k-means, a valley cut never shreds the
+            # smaller object when masses are unequal
+            centered = xy - xy.mean(0)
+            cov = centered.T @ centered / max(1, len(xy) - 1)
+            evals, evecs = np.linalg.eigh(cov)
+            proj = centered @ evecs[:, int(np.argmax(evals))]
+            span = float(proj.max() - proj.min())
+            nbins = max(8, int(span / 0.4))
+            hist, edges = np.histogram(proj, bins=nbins)
+            sm = np.convolve(hist, [1, 2, 1], mode="same")
+            # interior search only: the cut must leave >=1 m per side
+            margin = max(1, int(round(1.0 / (span / nbins))))
+            if nbins - 2 * margin < 1:
+                continue
+            vi = int(np.argmin(sm[margin:nbins - margin])) + margin
+            thresh = (edges[vi] + edges[vi + 1]) / 2
+            assign = (proj > thresh).astype(np.int32)
+            if assign.sum() < 4 or (1 - assign).sum() < 4:
+                continue  # degenerate sliver: refuse the split
+            lab[idx[assign == 1]] = K
+            K += 1
+            did = True
+        if not did:
+            break
+    return lab, K

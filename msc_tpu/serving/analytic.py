@@ -142,25 +142,43 @@ def _marker_lines(text: str) -> List[str]:
 # ---------------------------------------------------------------------------
 
 def classify_cluster_geometry(dims, num_points: int) -> Dict[str, Any]:
-    """dims: (dx, dy, dz) bounding-box extents in meters."""
+    """dims: (dx, dy, dz) bounding-box extents in meters.
+
+    Thresholds account for the ground split (LiDARConfig.ground_z = -1.4
+    vs objects resting on z = -1.8): every cluster's measured height sits
+    ~0.4 m under the physical height, e.g. a 1.0 m barrier measures
+    ~0.6 m.  Rule ORDER matters: barriers (l≈2.5, low) must be tested
+    before the two-wheeler band (round-4 confusion-matrix measurement:
+    the old ordering sent 14/15 barriers to "bicycle", and bus detection
+    was 50% from range fragmentation — see ops/clustering.py
+    merge_fragment_clusters)."""
     d = sorted(float(abs(x)) for x in dims[:2])
     w, l = d[0], d[1]
     h = float(abs(dims[2]))
-    if h < 1.0 and l < 0.7 and w < 0.7:
-        return {"category": "traffic_cone", "confidence": 0.8}
-    if 1.1 <= h <= 2.1 and l < 1.2 and w < 1.0:
-        return {"category": "pedestrian", "confidence": 0.8}
-    if 1.2 <= l <= 2.6 and w <= 1.2:
-        cat = "motorcycle" if w > 0.62 else "bicycle"
-        return {"category": cat, "confidence": 0.6}
-    if 3.0 <= l <= 5.6 and 1.3 <= w <= 2.4 and h <= 2.2:
+    if l < 0.55 and h < 0.78:
+        # cones are 0.8 m physical; ground-cut clusters measure ~0.4
+        return {"category": "traffic_cone", "confidence": 0.85}
+    if h >= 1.05 and l < 1.0:
+        return {"category": "pedestrian", "confidence": 0.85}
+    if 2.15 <= l <= 2.9 and w <= 0.75 and h < 0.72:
+        # long, narrow, LOW: barrier (2.5 x 0.5 x 1.0 physical); the
+        # length floor keeps sparse far bicycles (l<=1.8) out of here
+        return {"category": "barrier", "confidence": 0.8}
+    if 1.1 <= l <= 2.5 and w <= 1.2 and h < 1.3:
+        # two-wheeler band: motorcycles are wider and taller than bicycles
+        cat = "motorcycle" if (w > 0.68 or h > 0.92) else "bicycle"
+        return {"category": cat, "confidence": 0.7}
+    if 3.0 <= l <= 5.6 and 1.2 <= w <= 2.4 and h <= 1.9:
         return {"category": "car", "confidence": 0.85}
-    if l > 8.0 and h > 2.6:
-        return {"category": "bus", "confidence": 0.75}
-    if 5.0 <= l <= 12.0 and h > 1.8:
-        return {"category": "truck", "confidence": 0.7}
-    if 1.4 <= l <= 4.5 and w < 1.1 and 0.4 <= h <= 1.6:
-        return {"category": "barrier", "confidence": 0.6}
+    if l > 8.6 and (h > 2.4 or w > 2.6):
+        return {"category": "bus", "confidence": 0.8}
+    if 5.2 <= l <= 8.6 and h > 1.9:
+        return {"category": "truck", "confidence": 0.75}
+    # partial-cluster fallbacks (occluded / surviving fragments)
+    if l > 8.6:
+        return {"category": "bus", "confidence": 0.6}
+    if l > 5.6:
+        return {"category": "truck", "confidence": 0.5}
     return {"category": "unknown", "confidence": 0.5}
 
 

@@ -209,3 +209,74 @@ def test_preprocess_images(mock_sample):
     out = np.asarray(preprocess_images(jnp.asarray(batch), size=224))
     assert out.shape == (2, 224, 224, 3)
     assert -1.0 <= out.min() and out.max() <= 1.0
+
+
+def test_merge_fragment_clusters():
+    from msc_tpu.ops.clustering import merge_fragment_clusters
+
+    rng = np.random.default_rng(0)
+    # a far "bus" split into three face fragments 1 m apart at r~30 m
+    frags = []
+    for k, x0 in enumerate((26.0, 30.0, 34.0)):
+        pts = rng.uniform(0, 1, size=(30, 3)) * [3.0, 0.3, 2.8]
+        pts += [x0, 4.0, -1.3]
+        frags.append(pts)
+    # a genuinely separate near pair (r < min_merge_range): must NOT merge
+    near_a = rng.uniform(0, 1, size=(20, 3)) * [1.0, 1.0, 1.0] + [5.0, 0.0, -1.3]
+    near_b = near_a + [1.8, 0.0, 0.0]
+    pc = np.vstack(frags + [near_a, near_b])
+    pc = np.hstack([pc, np.zeros((len(pc), 1))]).astype(np.float32)
+    lab = np.concatenate([np.full(30, 0), np.full(30, 1), np.full(30, 2),
+                          np.full(20, 3), np.full(20, 4)]).astype(np.int32)
+    out, k = merge_fragment_clusters(pc, lab, 5, eps=0.5)
+    assert k == 3  # three far fragments -> 1; near pair stays 2
+    far_ids = set(out[:90].tolist())
+    assert len(far_ids) == 1
+    assert out[90:110].max() != out[110:].max()
+    # merged box exceeding a single object's footprint is refused
+    wide_a = rng.uniform(0, 1, size=(25, 3)) * [2.0, 3.0, 2.0] + [28.0, -8.0, -1.3]
+    wide_b = wide_a + [2.8, 0.0, 0.0]   # union ~4.8 x 3 -> fits; then widen
+    wide_b[:, 1] += 1.2                 # union w > 3.4 -> refuse
+    pc2 = np.hstack([np.vstack([wide_a, wide_b]),
+                     np.zeros((50, 1))]).astype(np.float32)
+    lab2 = np.concatenate([np.full(25, 0), np.full(25, 1)]).astype(np.int32)
+    _, k2 = merge_fragment_clusters(pc2, lab2, 2, eps=0.5)
+    assert k2 == 2
+
+
+def test_split_oversize_clusters():
+    from msc_tpu.ops.clustering import split_oversize_clusters
+
+    rng = np.random.default_rng(1)
+    # truck+car contact blob: 12.5 m long, 5 m wide -> must split in two
+    a = rng.uniform(0, 1, size=(200, 3)) * [7.0, 2.5, 2.6] + [10.0, 0.0, -1.4]
+    b = rng.uniform(0, 1, size=(120, 3)) * [4.5, 2.0, 1.2] + [17.5, 2.6, -1.4]
+    pc = np.hstack([np.vstack([a, b]), np.zeros((320, 1))]).astype(np.float32)
+    lab = np.zeros(320, np.int32)
+    out, k = split_oversize_clusters(pc, lab, 1)
+    assert k == 2
+    # the two halves land on the two true objects (majority per object)
+    assert np.bincount(out[:200]).argmax() != np.bincount(out[200:]).argmax()
+    # a plausible single object is left alone
+    only = np.hstack([a, np.zeros((200, 1))]).astype(np.float32)
+    out1, k1 = split_oversize_clusters(only, np.zeros(200, np.int32), 1)
+    assert k1 == 1
+
+
+def test_classify_cluster_geometry_families():
+    from msc_tpu.serving.analytic import classify_cluster_geometry
+
+    # measured dims carry the ground-cut (~0.4 m off physical height)
+    cases = {
+        (2.5, 0.5, 0.6): "barrier",       # was "bicycle" before round 4
+        (1.8, 0.6, 0.8): "bicycle",
+        (2.1, 0.8, 1.0): "motorcycle",
+        (0.6, 0.6, 1.35): "pedestrian",
+        (0.4, 0.4, 0.4): "traffic_cone",
+        (4.5, 2.0, 1.2): "car",
+        (7.0, 2.5, 2.6): "truck",
+        (11.0, 2.9, 3.0): "bus",
+    }
+    for dims, want in cases.items():
+        got = classify_cluster_geometry(dims, 100)["category"]
+        assert got == want, f"{dims}: {got} != {want}"
