@@ -212,8 +212,16 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
                             tasks: str = "all",
                             config_names: Tuple[str, ...] = ("full",),
                             include_images: bool = True,
-                            image_size: int = 224):
+                            image_size: int = 224,
+                            cache_dir: str | None = None):
     """Record (serving prompt, analytic target) pairs for every agent task.
+
+    ``cache_dir`` (or env MSC_DATASET_CACHE): pickle the built dataset,
+    keyed by the build arguments.  The build is deterministic given the
+    arguments AND the pipeline code, so a stale cache after a pipeline/
+    teacher change must be deleted by hand (the cache exists to keep the
+    scarce TPU window free of the ~CPU-bound dataset construction —
+    pre-build on CPU, then train the moment the chip is reachable).
 
     Returns (train_pairs, eval_pairs, holdout_scene_indices); pairs are
     (messages, target_text, gt_answer_or_None, task, images).  With
@@ -225,6 +233,20 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
     tasks still carry the MQA-relevant information via the OBJECTS_JSON/
     DETECTIONS_JSON markers).
     """
+    import pickle
+
+    cache_dir = cache_dir or os.environ.get("MSC_DATASET_CACHE", "")
+    cache_file = None
+    if cache_dir:
+        key = (f"ds_{tasks}_{'-'.join(config_names)}_{num_scenes}"
+               f"_{holdout}_{int(include_images)}_{image_size}.pkl")
+        cache_file = os.path.join(cache_dir, key)
+        if os.path.isfile(cache_file):
+            with open(cache_file, "rb") as f:
+                out = pickle.load(f)
+            print(f"dataset loaded from cache: {cache_file}", flush=True)
+            return out
+
     from msc_tpu.config import ModalityConfig
     from msc_tpu.data.mqa import generate_mock_mqa
     from msc_tpu.data.nuscenes import MockNuScenesLoader
@@ -359,6 +381,14 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
     train = [p for s in pairs_by_scene[:-holdout] for p in s]
     evl = [p for s in pairs_by_scene[-holdout:] for p in s]
     holdout_idx = list(range(num_scenes - holdout, num_scenes))
+    if cache_file:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_file + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump((train, evl, holdout_idx), f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, cache_file)
+        print(f"dataset cached -> {cache_file}", flush=True)
     return train, evl, holdout_idx
 
 
@@ -455,6 +485,14 @@ def main():
     ap.add_argument("--save-every", type=int, default=2500,
                     help="overwrite --save dir every N steps so a crashed "
                          "run leaves a usable checkpoint (0 = final only)")
+    ap.add_argument("--dataset-cache",
+                    default=os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__)))),
+                        ".dataset_cache"),
+                    help="directory for the pickled dataset cache "
+                         "('' disables); pre-build on CPU with "
+                         "scripts/prebuild_dataset.sh so the TPU window "
+                         "starts at step 0, not at scene 0")
     ap.add_argument("--resume", action="store_true",
                     help="restore params+optimizer+step from "
                          "<save>__state and continue — the watchdog "
@@ -487,7 +525,8 @@ def main():
           f"(configs={args.configs})...")
     train_pairs, eval_pairs, _ = build_multitask_dataset(
         args.scenes, holdout=args.holdout, tasks=args.tasks,
-        config_names=tuple(args.configs.split(",")))
+        config_names=tuple(args.configs.split(",")),
+        cache_dir=args.dataset_cache)
     from collections import Counter
 
     print(f"train pairs: {len(train_pairs)}, eval pairs: {len(eval_pairs)}")

@@ -1,0 +1,13 @@
+#!/bin/bash
+# Pre-build the r12/m1 distillation dataset on CPU into .dataset_cache
+# so the TPU window is spent training, not constructing data.
+cd "$(dirname "$0")/.."
+MSC_PLATFORM=cpu exec python - <<'PY'
+from msc_tpu.utils.jax_setup import enable_compilation_cache
+enable_compilation_cache()
+from msc_tpu.training.distill import build_multitask_dataset
+t, e, h = build_multitask_dataset(160, holdout=12, tasks="all",
+                                  config_names=("rotate",),
+                                  cache_dir=".dataset_cache")
+print(f"train={len(t)} eval={len(e)} holdout={h[:3]}..{h[-1]}")
+PY
