@@ -320,6 +320,7 @@ def make_backend(model_config, vlm_params=None) -> Backend:
         ckpt = getattr(model_config, "vlm_ckpt", "")
         preset_env = os.environ.get("MSC_VLM_PRESET", "")
         sidecar = (os.path.abspath(ckpt) + ".preset") if ckpt else ""
+        dtype_env = os.environ.get("MSC_VLM_DTYPE", "")
         if preset_env:
             vlm_cfg = vlm_preset(preset_env)
         elif sidecar and os.path.isfile(sidecar):
@@ -331,6 +332,14 @@ def make_backend(model_config, vlm_params=None) -> Backend:
             # exists precisely to prevent that deep-in-restore shape error)
             if name:
                 vlm_cfg = vlm_preset(name)
+        if dtype_env:
+            # MSC_VLM_DTYPE=float32: XLA:CPU emulates bf16 matmuls ~2.3x
+            # slower than f32 (decode_bench, round 4), so CPU-fallback
+            # evals force f32; the engine casts params to cfg.dtype, so
+            # a bf16-trained checkpoint upcasts losslessly
+            import dataclasses
+
+            vlm_cfg = dataclasses.replace(vlm_cfg, dtype=dtype_env)
         if vlm_params is None and getattr(model_config, "vlm_ckpt", ""):
             from msc_tpu.utils.checkpoint import restore_params
 

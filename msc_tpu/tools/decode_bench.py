@@ -30,6 +30,10 @@ def main():
                     help="cache span (default: t + 256)")
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--preset", default="msc-vlm-s")
+    ap.add_argument("--dtype", default="",
+                    help="override preset dtype (bfloat16|float32) — "
+                         "XLA:CPU emulates bf16 matmuls slowly, so CPU "
+                         "fallback runs may want float32")
     args = ap.parse_args()
 
     from msc_tpu.utils.jax_setup import enable_compilation_cache
@@ -46,6 +50,10 @@ def main():
     from msc_tpu.models.vlm import init_vlm_params
     cfg = (VLMConfig() if args.preset == "msc-vlm-s"
            else vlm_preset(args.preset))
+    if args.dtype:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dtype=args.dtype)
     B, T = args.batch, args.t
     t_max = args.t_max or T + 256
     print(f"backend={jax.default_backend()} preset={args.preset} "
