@@ -217,13 +217,18 @@ def main():
     elapsed = time.perf_counter() - t0
 
     scenes_per_sec = TIMED / elapsed
-    print(json.dumps({
+    record = {
         "metric": "scenes/sec/chip (6-cam+LiDAR->JSON caption, full "
                   f"pipeline, {BACKEND} backend)",
         "value": round(scenes_per_sec, 4),
         "unit": "scenes/sec/chip",
         "vs_baseline": round(scenes_per_sec / TARGET, 4),
-    }))
+    }
+    if engine is not None and engine.stats["calls"]:
+        # round-3 VERDICT item 2: the call count rides in the JSON record
+        # itself (12 -> 6.0 calls/scene is the fusion claim being verified)
+        record["calls_per_scene"] = round(engine.stats["calls"] / TIMED, 2)
+    print(json.dumps(record))
     if lat:
         lat_sorted = sorted(lat)
         p50 = lat_sorted[len(lat_sorted) // 2]
