@@ -73,6 +73,22 @@ def run_with_watchdog(cmd: list[str], log_path: str, stall_minutes: float,
     (0 on a clean child exit; 1 when restarts are exhausted)."""
     stall_s = stall_minutes * 60.0
     attempt = 0
+
+    # Forward our own termination to the child's process group: the child
+    # runs in its OWN session (so stall kills never hit the watchdog), which
+    # also means a SIGTERM to the watchdog (e.g. `timeout N watchdog ...`)
+    # would otherwise ORPHAN a trainer that keeps holding the TPU.
+    current: list = [None]
+
+    def _forward(signum, frame):
+        proc = current[0]
+        if proc is not None:
+            _terminate(proc, grace)
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _forward)
+    signal.signal(signal.SIGINT, _forward)
+
     while True:
         attempt += 1
         with open(log_path, "ab", buffering=0) as logf:
@@ -81,6 +97,7 @@ def run_with_watchdog(cmd: list[str], log_path: str, stall_minutes: float,
                 f"{' '.join(cmd)} ===\n".encode())
             proc = subprocess.Popen(cmd, stdout=logf, stderr=logf,
                                     start_new_session=True)
+            current[0] = proc
             print(f"watchdog: attempt {attempt} pid={proc.pid} "
                   f"log={log_path} stall={stall_minutes:g}min", flush=True)
             last_size = _log_size(log_path)
