@@ -65,3 +65,43 @@ def test_training_cli():
               "--preset", "msc-vlm-tiny"])
     assert r.returncode == 0, r.stderr[-1500:]
     assert "loss" in r.stdout
+
+
+def test_watchdog_forwards_sigterm(tmp_path):
+    """`timeout N watchdog ...` must not orphan the child (it runs in its
+    own session): the watchdog forwards SIGTERM to the child's group."""
+    import signal
+    import time
+
+    log = tmp_path / "wd.log"
+    pidfile = tmp_path / "child.pid"
+    child = ("import os, time, sys\n"
+             f"open({str(pidfile)!r}, 'w').write(str(os.getpid()))\n"
+             "sys.stdout.write('up\\n'); sys.stdout.flush()\n"
+             "time.sleep(600)\n")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "msc_tpu.tools.watchdog", "--log", str(log),
+         "--stall-minutes", "99", "--", sys.executable, "-c", child],
+        cwd=REPO, env=ENV, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not pidfile.exists():
+            time.sleep(0.2)
+        assert pidfile.exists(), "child never started"
+        child_pid = int(pidfile.read_text())
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+        # child group must be gone shortly after the watchdog exits
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                os.kill(child_pid, 0)
+            except ProcessLookupError:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("child survived the watchdog's SIGTERM")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
