@@ -48,6 +48,14 @@ from msc_tpu.serving.analytic import DET_MARKER
 from msc_tpu.utils.device_lock import DEVICE_LOCK
 
 
+def _as_int(v: Any) -> Optional[int]:
+    """Model-JSON cluster index as int ("0"/0/0.0 all match row 0)."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
 @dataclasses.dataclass
 class DetectedObject:
     """A detected object (parity with `lidar_agent.py:18-27`)."""
@@ -379,10 +387,23 @@ class LiDARAgent(BaseAgent):
             listed = result.get("classifications", [])
             out = []
             for i in range(len(metas)):
-                hit = next((c for c in listed if c.get("cluster") == i),
+                hit = next((c for c in listed
+                            if _as_int(c.get("cluster")) == i),
                            {"category": "unknown", "confidence": 0.5})
-                out.append({"category": hit.get("category", "unknown"),
-                            "confidence": hit.get("confidence", 0.5)})
+                # sanitize model JSON: a non-string category (int/float/
+                # None) must not leak into the detection markers — counts
+                # dicts keyed by it crash every later sorted() with
+                # mixed-type keys ("'<' not supported between instances
+                # of 'int' and 'str'", scene-159 eval losses), and a
+                # string confidence crashes the >0.3 gate
+                cat = hit.get("category", "unknown")
+                cat = cat.strip().lower() if isinstance(cat, str) else ""
+                try:
+                    conf = float(hit.get("confidence", 0.5))
+                except (TypeError, ValueError):
+                    conf = 0.5
+                out.append({"category": cat or "unknown",
+                            "confidence": conf})
             return out
         except (json.JSONDecodeError, KeyError, IndexError):
             return [{"category": "unknown", "confidence": 0.5}

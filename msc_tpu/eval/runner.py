@@ -149,6 +149,12 @@ class ComprehensiveMQARunner:
                     return config_name, mc, pending, answers, caption
                 except Exception as e:  # continue-on-error parity
                     print(f"  error on config {config_name}: {str(e)[:120]}")
+                    # full traceback to stderr: a skipped config costs
+                    # ~19 eval rows, so the crash site must be findable
+                    # from the run log (scene-159 losses in round 4 were
+                    # only diagnosable by code inspection)
+                    import traceback
+                    traceback.print_exc()
                     return None
 
             if self.concurrent_configs > 1 and len(jobs) > 1:

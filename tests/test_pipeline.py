@@ -310,3 +310,30 @@ def test_counts_marker_appended_to_full_caption(full_result, mock_sample):
     assert any(l.strip().startswith("COUNTS: ")
                and not l.strip().startswith("COUNTS: scene:")
                for l in full.splitlines())
+
+
+def test_parse_classifications_sanitizes_model_json():
+    """Garbage-typed model JSON (int/float categories, string confidence,
+    string cluster ids) must not leak into detections: a non-string
+    category key crashes every later sorted() over the counts dicts
+    ("'<' not supported between instances of 'int' and 'str'" — the
+    round-4 scene-159 eval losses)."""
+    import json as _json
+
+    from msc_tpu.agents.lidar import LiDARAgent
+
+    metas = [{}, {}, {}]
+    response = _json.dumps({"classifications": [
+        {"cluster": "0", "category": "Car", "confidence": "0.9"},
+        {"cluster": 1, "category": 7, "confidence": None},
+        {"cluster": 2.0, "category": "  truck ", "confidence": 0.8},
+    ]})
+    out = LiDARAgent._parse_classifications(response, metas)
+    assert out == [
+        {"category": "car", "confidence": 0.9},       # str cluster "0" matches
+        {"category": "unknown", "confidence": 0.5},   # int category rejected
+        {"category": "truck", "confidence": 0.8},     # float cluster id matches
+    ]
+    # every category must be a str and every confidence a float
+    assert all(isinstance(c["category"], str)
+               and isinstance(c["confidence"], float) for c in out)
