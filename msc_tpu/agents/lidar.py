@@ -352,13 +352,34 @@ class LiDARAgent(BaseAgent):
         lines = ["Object Cluster Details:"]
         for i, m in enumerate(metas):
             c, d = m["center"], m["dimensions"]
-            lines.append(
+            entry = (
                 f"\nCluster #{i}:\n"
                 f"  Position: ({c[0]:.1f}, {c[1]:.1f}, {c[2]:.1f})m\n"
                 f"  Size: {d[0]:.1f} x {d[1]:.1f} x {d[2]:.1f}m (L x W x H)\n"
                 f"  Distance: {m['distance']:.1f}m\n"
                 f"  Direction: {m['direction']}\n"
                 f"  Points: {m['num_points']}")
+            if self.cfg.classify_hints:
+                # host retrieval for classification (round-4 decomposition:
+                # the 35M student misclassifies crops the geometry rule
+                # gets right — 128/313 held-out failures).  The hint is
+                # the SAME rule the analytic teacher answers with
+                # (serving/analytic.py classify_cluster_geometry), so the
+                # distillation target is consistent with the hint and the
+                # student learns to copy it — the classify-prompt analogue
+                # of the MQA fact line.
+                from msc_tpu.serving.analytic import (
+                    classify_cluster_geometry)
+
+                # compute from the SAME rounded dims the prompt prints —
+                # the analytic teacher re-derives the rule from the
+                # "Size:" text, so hint and target must round identically
+                g = classify_cluster_geometry(
+                    (float(f"{d[0]:.1f}"), float(f"{d[1]:.1f}"),
+                     float(f"{d[2]:.1f}")), int(m["num_points"]))
+                entry += (f"\n  Geometry suggests: {g['category']} "
+                          f"(confidence {g['confidence']:.2f})")
+            lines.append(entry)
         user = (f"Classify these {len(metas)} object cluster(s):\n\n"
                 + "\n".join(lines)
                 + "\n\nAnalyze the multi-view visualizations and metadata, "

@@ -187,6 +187,16 @@ class LiDARConfig:
     max_points: int = 40960     # static shape cap for TPU kernels
     max_clusters: int = 128     # static cap on detected clusters
     cluster_img_size: int = 256
+    # Host geometry hint in the classify prompt ("Geometry suggests: X"),
+    # computed by the same rule the analytic teacher answers with — turns
+    # cluster classification into retrieval for the distilled student
+    # (round-4 held-out decomposition: 128/313 failures were wrong facts
+    # from student misclassification, RESULTS.md).  Env-keyed default so
+    # dataset build, training, and eval always agree; checkpoints trained
+    # without hints must be evaluated without them (prompt format).
+    classify_hints: bool = field(
+        default_factory=lambda: os.environ.get(
+            "MSC_CLASSIFY_HINTS", "").lower() in ("1", "true", "yes"))
 
 
 @dataclass

@@ -52,6 +52,25 @@ class SemanticCaptioningPipeline:
         pair with a ContinuousBatcher backend on direct-attached TPUs."""
         self.config = config or ModelConfig()
         self.lidar_config = lidar_config or LiDARConfig()
+        # prompt-flags sidecar: a checkpoint trained with classify hints
+        # must be served with hint prompts — and one trained without must
+        # never see them — regardless of the caller's environment
+        # (training/distill.py writes `<ckpt>.flags` at save time).  An
+        # explicit MSC_CLASSIFY_HINTS still wins; checkpoints with no
+        # flags file (pre-round-4) are untouched.
+        import dataclasses as _dc
+        import os as _os
+
+        flags_path = (getattr(self.config, "vlm_ckpt", "") or "") + ".flags"
+        if ("MSC_CLASSIFY_HINTS" not in _os.environ
+                and _os.path.isfile(flags_path)):
+            with open(flags_path) as f:
+                flags = dict(l.strip().split("=", 1) for l in f
+                             if "=" in l)
+            if "classify_hints" in flags:
+                self.lidar_config = _dc.replace(
+                    self.lidar_config,
+                    classify_hints=flags["classify_hints"] == "1")
         self.parallel_l1 = parallel_l1
         self.verbose = verbose
         self.timer = StageTimer()

@@ -87,6 +87,14 @@ def canonicalize_for_dfa(schema, text: str) -> str:
     return json.dumps(clamp(spec, obj), separators=(",", ":"))
 
 
+def _curriculum_v2() -> bool:
+    """MSC_CURRICULUM=v2 adds tag-family (camera/distance/location) copy
+    pairs to the synthetic curriculum.  Env-gated OFF so a watchdog
+    restart of an in-flight run recomputes the same dataset cache key it
+    started with; v2 runs carry a distinct key (see build cache key)."""
+    return os.environ.get("MSC_CURRICULUM", "").lower() == "v2"
+
+
 def _random_copy_pairs(caption: Dict, scene_i: int,
                        n_variants: int = 2) -> List[tuple]:
     """Unmemorizable copy-curriculum: fact-copy pairs over SYNTHETIC
@@ -161,6 +169,23 @@ def _random_copy_pairs(caption: Dict, scene_i: int,
             questions.append(
                 f"How many <obj>{plural}</obj> are in <cam>{cam}</cam>?")
             questions.append(f"Is there a <obj>{obj}</obj> in <cam>{cam}</cam>?")
+        if _curriculum_v2():
+            # tag-family copy pairs (curriculum v2): camera/distance/
+            # location questions had NO synthetic coverage — only ~1
+            # organic question per scene each — and are the weakest read
+            # families (round-4 held-out: the model contradicts a correct
+            # fact line on 48/58 <cam>, 48/58 <dst>, 44/58 <loc> rows).
+            # The fact line carries the nearest match's distance/view/
+            # (x, y); these pairs train the copy circuit for all three
+            # templates, over present AND absent categories (the
+            # "no camera shows"/"unknown" templates must form too).
+            for _ in range(4):
+                obj = cats[int(rng.integers(0, len(cats)))]
+                questions.append(
+                    f"How far away is the nearest <obj>{obj}</obj>?")
+                questions.append(f"Where is the nearest <obj>{obj}</obj>?")
+                questions.append(
+                    f"Which camera shows the nearest <obj>{obj}</obj>?")
         pairs.extend((build_mqa_messages(q, cap_v),
                       answer_mqa_from_caption(q, cap_v), None,
                       "mqa_answer", [])
@@ -238,8 +263,16 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
     cache_dir = cache_dir or os.environ.get("MSC_DATASET_CACHE", "")
     cache_file = None
     if cache_dir:
+        from msc_tpu.config import LiDARConfig
+
+        # dataset-content discriminators must be part of the key: a cached
+        # no-hints/v1 dataset must never serve a hints/v2 run (and vice
+        # versa)
+        hints = "_hints" if LiDARConfig().classify_hints else ""
+        cur = "_cur2" if _curriculum_v2() else ""
         key = (f"ds_{tasks}_{'-'.join(config_names)}_{num_scenes}"
-               f"_{holdout}_{int(include_images)}_{image_size}.pkl")
+               f"_{holdout}_{int(include_images)}_{image_size}"
+               f"{hints}{cur}.pkl")
         cache_file = os.path.join(cache_dir, key)
         if os.path.isfile(cache_file):
             with open(cache_file, "rb") as f:
@@ -604,6 +637,12 @@ def main():
             f.write(args.preset + "\n")
         with open(os.path.abspath(args.save) + ".step", "w") as f:
             f.write(f"{step}\n")
+        # prompt-flags sidecar: record whether this checkpoint was
+        # trained on hint-bearing classify prompts so serving always
+        # reconstructs the same prompt format (pipeline.py reads it)
+        from msc_tpu.config import LiDARConfig as _LC
+        with open(os.path.abspath(args.save) + ".flags", "w") as f:
+            f.write(f"classify_hints={int(_LC().classify_hints)}\n")
 
     start_step = 0
     if args.resume and args.save and \

@@ -337,3 +337,73 @@ def test_parse_classifications_sanitizes_model_json():
     # every category must be a str and every confidence a float
     assert all(isinstance(c["category"], str)
                and isinstance(c["confidence"], float) for c in out)
+
+
+def test_classify_hints_flag_adds_consistent_geometry_hint():
+    """With LiDARConfig.classify_hints the classify prompt carries a
+    host-computed 'Geometry suggests:' line per cluster, computed by the
+    SAME rule the analytic teacher answers with — so the hint always
+    matches the distillation target.  Off by default (checkpoints
+    trained without hints must see unchanged prompts)."""
+    import json as _json
+
+    import numpy as np
+
+    from msc_tpu.agents.lidar import LiDARAgent
+    from msc_tpu.config import LiDARConfig
+    from msc_tpu.serving.analytic import AnalyticBackend
+
+    metas = [{"index": 0, "center": np.array([5.0, 2.0, -0.5]),
+              "dimensions": np.array([4.3, 1.8, 1.6]),
+              "distance": 5.4, "direction": "front", "num_points": 840}]
+
+    def build(cfg):
+        agent = object.__new__(LiDARAgent)
+        agent.cfg = cfg
+        return agent._build_classify_call(tile=None, metas=metas)
+
+    off = build(LiDARConfig(classify_hints=False))
+    off_text = off["messages"][1]["content"][1]["text"]
+    assert "Geometry suggests:" not in off_text
+
+    on = build(LiDARConfig(classify_hints=True))
+    on_text = on["messages"][1]["content"][1]["text"]
+    assert "Geometry suggests:" in on_text
+
+    # the hint must equal the analytic teacher's classification of the
+    # same prompt (consistent hint/target at distillation time)
+    teacher = AnalyticBackend()
+    resp = _json.loads(teacher.complete(
+        on["messages"], temperature=0.0, task="cluster_classify"))
+    cat = resp["classifications"][0]["category"]
+    assert f"Geometry suggests: {cat} " in on_text
+
+
+def test_checkpoint_flags_sidecar_sets_classify_hints(tmp_path, monkeypatch):
+    """A `<ckpt>.flags` sidecar recording classify_hints=1 must flip the
+    pipeline's lidar config when the env doesn't override — a checkpoint
+    trained on hint prompts must be served with hint prompts (and one
+    without a sidecar must be untouched)."""
+    from msc_tpu.config import ModelConfig
+    from msc_tpu.pipeline import SemanticCaptioningPipeline
+    from msc_tpu.serving.client import FakeBackend
+
+    monkeypatch.delenv("MSC_CLASSIFY_HINTS", raising=False)
+    ckpt = tmp_path / "ck"
+    (tmp_path / "ck.flags").write_text("classify_hints=1\n")
+    cfg = ModelConfig()
+    cfg.vlm_ckpt = str(ckpt)
+    pipe = SemanticCaptioningPipeline(cfg, backend=FakeBackend(),
+                                      verbose=False)
+    assert pipe.lidar_config.classify_hints is True
+
+    cfg2 = ModelConfig()  # no sidecar -> default (off)
+    pipe2 = SemanticCaptioningPipeline(cfg2, backend=FakeBackend(),
+                                       verbose=False)
+    assert pipe2.lidar_config.classify_hints is False
+
+    # explicit env wins over the sidecar
+    monkeypatch.setenv("MSC_CLASSIFY_HINTS", "0")
+    pipe3 = SemanticCaptioningPipeline(cfg, backend=FakeBackend(),
+                                       verbose=False)
+    assert pipe3.lidar_config.classify_hints is False
