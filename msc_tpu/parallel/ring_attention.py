@@ -96,8 +96,13 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         m0 = jnp.full((B, KV, G, chunk, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((B, KV, G, chunk, 1), jnp.float32)
         # mark the accumulators as device-varying over the ring axis so the
-        # loop carry types match the per-device outputs
-        acc0, m0, l0 = jax.lax.pvary((acc0, m0, l0), axis)
+        # loop carry types match the per-device outputs (pvary was
+        # deprecated in favor of pcast; keep working on older jax)
+        if hasattr(jax.lax, "pcast"):
+            acc0, m0, l0 = jax.lax.pcast((acc0, m0, l0), to="varying",
+                                         axis_name=axis)
+        else:
+            acc0, m0, l0 = jax.lax.pvary((acc0, m0, l0), axis)
         _, _, _, acc, m, l = jax.lax.fori_loop(
             0, n, step, (k_l, v_l, valid_l, acc0, m0, l0))
         out = acc / jnp.maximum(l, 1e-30)             # (B,KV,G,chunk,hd)
