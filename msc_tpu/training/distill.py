@@ -646,7 +646,8 @@ def main():
 
     start_step = 0
     if args.resume and args.save and \
-            os.path.isdir(os.path.abspath(args.save) + "__state"):
+            (os.path.isdir(os.path.abspath(args.save) + "__state")
+             or os.path.isdir(os.path.abspath(args.save) + "__state__next")):
         from msc_tpu.utils.checkpoint import restore_params
 
         state = restore_params(os.path.abspath(args.save) + "__state",

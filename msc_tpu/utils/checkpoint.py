@@ -18,14 +18,35 @@ from typing import Any, Optional
 
 
 def save_params(path: str, params: Any):
-    """Save a parameter pytree (orbax if available, else numpy fallback)."""
+    """Save a parameter pytree (orbax if available, else numpy fallback).
+
+    Overwrites are complete-then-swap: orbax's ``force=True`` deletes the
+    destination BEFORE its (minutes-long, for large states) tmp write, so
+    a crash mid-save would lose the ONLY resume point.  Observed live on
+    the m-family trainer: ``<ckpt>__state`` absent for ~3 min per
+    500-step save while the ``.orbax-checkpoint-tmp`` dir filled.  We
+    instead write to ``<path>__next`` and swap, shrinking the unsafe
+    window to one rmtree+rename; a crash between them leaves a complete
+    ``__next`` that ``restore_params`` falls back to.
+    """
     path = os.path.abspath(path)
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, params, force=True)
-        ckptr.wait_until_finished()
+        if os.path.isdir(path):
+            import shutil
+
+            nxt = path + "__next"
+            if os.path.isdir(nxt):
+                shutil.rmtree(nxt)
+            ckptr.save(nxt, params, force=True)
+            ckptr.wait_until_finished()
+            shutil.rmtree(path)
+            os.rename(nxt, path)
+        else:
+            ckptr.save(path, params, force=True)
+            ckptr.wait_until_finished()
         return
     except Exception:
         _save_numpy(path, params)
@@ -33,6 +54,10 @@ def save_params(path: str, params: Any):
 
 def restore_params(path: str, like: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
+    if not os.path.isdir(path) and os.path.isdir(path + "__next"):
+        # a crash between save_params' rmtree and rename left only the
+        # completed __next dir — adopt it
+        os.rename(path + "__next", path)
     try:
         import orbax.checkpoint as ocp
 

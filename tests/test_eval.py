@@ -189,6 +189,43 @@ def test_checkpoint_roundtrip(tmp_path):
                                rtol=1e-6)
 
 
+def _embed_of(restored, params_key="embed"):
+    if isinstance(restored, dict) and "vit" in restored:
+        return np.asarray(restored["dec"]["embed"])
+    key = [k for k in restored if k.endswith(params_key)][0]
+    return np.asarray(restored[key])
+
+
+def test_checkpoint_overwrite_is_complete_then_swap(tmp_path):
+    """Re-saving over an existing checkpoint must never pass through a
+    state where the destination dir is absent with only a partial tmp on
+    disk (orbax force=True deletes-then-writes; observed as a ~3-min
+    resume-point hole per save on the m-family trainer).  save_params
+    writes <path>__next then swaps; a crash between the rmtree and the
+    rename leaves a COMPLETE __next that restore_params adopts."""
+    import jax
+
+    from msc_tpu.models.vlm import init_vlm_params
+    from msc_tpu.utils import checkpoint as ckpt
+    from tests.test_models import TINY
+
+    p1 = init_vlm_params(jax.random.PRNGKey(0), TINY)
+    p2 = init_vlm_params(jax.random.PRNGKey(1), TINY)
+    path = str(tmp_path / "ck")
+    ckpt.save_params(path, p1)
+    ckpt.save_params(path, p2)  # overwrite path: __next + swap
+    assert os.path.isdir(path) and not os.path.isdir(path + "__next")
+    np.testing.assert_allclose(_embed_of(ckpt.restore_params(path, like=p2)),
+                               np.asarray(p2["dec"]["embed"]), rtol=1e-6)
+
+    # simulate the crash window: destination gone, completed __next left
+    os.rename(path, path + "__next")
+    restored = ckpt.restore_params(path, like=p2)
+    np.testing.assert_allclose(_embed_of(restored),
+                               np.asarray(p2["dec"]["embed"]), rtol=1e-6)
+    assert os.path.isdir(path)  # adopted back into place
+
+
 # ---------------------------------------------------------------------------
 # round 2: <loc>/<cam> families + camera pixel detections
 # ---------------------------------------------------------------------------
