@@ -136,8 +136,15 @@ def main():
                            key=_round_key)
             if cands:
                 cfg.model.vlm_ckpt = os.path.join(ckpt_root, cands[-1])
-    # coalesce concurrent scenes' calls into batched device calls
-    cfg.model.backend.continuous_batching = concurrency > 1
+    # coalesce concurrent scenes' calls into batched device calls.
+    # MSC_BENCH_COALESCE=0 keeps each scene's fused per-scene batches and
+    # only PIPELINES scenes across threads: host work (tokenize, cv2,
+    # parsing, prompt building) overlaps while device work serializes
+    # through DEVICE_LOCK — the row-coalescing sweep (PERF.md round 4)
+    # lost to head-of-line decode + row-linear compute, which pipelining
+    # avoids entirely.
+    coalesce = os.environ.get("MSC_BENCH_COALESCE", "1") == "1"
+    cfg.model.backend.continuous_batching = concurrency > 1 and coalesce
 
     loader = MockNuScenesLoader(num_scenes=WARMUP + TIMED,
                                 samples_per_scene=1)
@@ -269,6 +276,15 @@ def main():
               f"MFU={flops/elapsed/peak*100:.3f}% of v5e bf16 peak "
               f"(latency-bound serving: ~{1000*elapsed/max(1,st['calls']):.0f}"
               f" ms/call incl. host+tunnel)", file=sys.stderr)
+        if st.get("wall_s"):
+            # the under-lock fraction is the pipelining ceiling: with
+            # device work serialized, N overlapped scenes approach
+            # scenes/sec = TIMED / lock_s as host work hides
+            print(f"engine lock split: {st['lock_s']:.2f}s under "
+                  f"DEVICE_LOCK of {st['wall_s']:.2f}s in generate_batch "
+                  f"({100*st['lock_s']/max(1e-9,st['wall_s']):.0f}% locked; "
+                  f"pipelining ceiling ~{TIMED/max(1e-9,st['lock_s']):.2f} "
+                  f"scenes/sec)", file=sys.stderr)
     print(pipeline.timer.report(), file=sys.stderr)
 
 

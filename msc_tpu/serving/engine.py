@@ -147,7 +147,7 @@ class InferenceEngine:
         # cumulative serving telemetry (bench reads these for tokens/sec
         # + model-FLOPs utilization; see bench.py tail)
         self.stats = {"calls": 0, "prefill_tokens": 0, "decode_tokens": 0,
-                      "image_tokens": 0}
+                      "image_tokens": 0, "lock_s": 0.0, "wall_s": 0.0}
         import threading
 
         self._stats_lock = threading.Lock()
@@ -197,12 +197,12 @@ class InferenceEngine:
             for i in range(0, len(requests), 16):
                 out.extend(self.generate_batch(requests[i: i + 16]))
             return out
-        if _DEBUG:
-            import time as _time
+        import time as _time
 
-            _t0 = _time.perf_counter()
+        _t0 = _time.perf_counter()
         tok_lists = [self._tokenize(r) for r in requests]
         host_images = self._prep_request_images(requests)
+        _t_lock = _time.perf_counter()
         with DEVICE_LOCK:
             result, meta = self._dispatch_locked(requests, schema,
                                                  tok_lists, host_images)
@@ -212,7 +212,13 @@ class InferenceEngine:
             # device_get is one)
             out_tokens, lengths = jax.device_get(
                 (result.tokens, result.lengths))
+        _t_end = _time.perf_counter()
         with self._stats_lock:
+            # lock_s vs wall_s: the under-DEVICE_LOCK fraction bounds what
+            # cross-scene PIPELINING (overlapped host work, serialized
+            # device work) can recover — bench.py prints the split
+            self.stats["lock_s"] += _t_end - _t_lock
+            self.stats["wall_s"] += _t_end - _t0
             self.stats["calls"] += 1
             self.stats["prefill_tokens"] += sum(
                 len(t) for t in tok_lists[:B_real])

@@ -164,6 +164,9 @@ def test_engine_free_text_batch():
     assert engine.stats["calls"] == 1
     assert engine.stats["prefill_tokens"] > 0
     assert engine.stats["decode_tokens"] > 0
+    # lock-split telemetry: the under-DEVICE_LOCK fraction bounds what
+    # cross-scene pipelining can recover (bench.py "engine lock split")
+    assert 0.0 < engine.stats["lock_s"] <= engine.stats["wall_s"]
 
 
 def test_heterogeneous_constrained_batch():
