@@ -102,7 +102,11 @@ def main():
     from msc_tpu.data.nuscenes import MockNuScenesLoader
     from msc_tpu.pipeline import SemanticCaptioningPipeline
 
-    concurrency = int(os.environ.get("MSC_BENCH_CONCURRENCY", "1"))
+    # default concurrency=2 pipelined: the round-4 sweep (PERF.md) measured
+    # c=1 1.20, c=2 1.43, c=3 1.30 scenes/sec — two scenes in flight keep
+    # the device busy while the other scene's host work (cv2, tokenize,
+    # parsing) runs; three oversubscribe the ~90%-locked device and lose.
+    concurrency = int(os.environ.get("MSC_BENCH_CONCURRENCY", "2"))
     cfg = Config.from_env()
     cfg.model.backend.kind = BACKEND
     # default to the newest committed distilled checkpoint: the headline
@@ -136,14 +140,14 @@ def main():
                            key=_round_key)
             if cands:
                 cfg.model.vlm_ckpt = os.path.join(ckpt_root, cands[-1])
-    # coalesce concurrent scenes' calls into batched device calls.
-    # MSC_BENCH_COALESCE=0 keeps each scene's fused per-scene batches and
-    # only PIPELINES scenes across threads: host work (tokenize, cv2,
-    # parsing, prompt building) overlaps while device work serializes
-    # through DEVICE_LOCK — the row-coalescing sweep (PERF.md round 4)
-    # lost to head-of-line decode + row-linear compute, which pipelining
-    # avoids entirely.
-    coalesce = os.environ.get("MSC_BENCH_COALESCE", "1") == "1"
+    # MSC_BENCH_COALESCE=1 coalesces concurrent scenes' calls into shared
+    # batched device calls; the default (0) keeps each scene's fused
+    # per-scene batches and only PIPELINES scenes across threads: host
+    # work (tokenize, cv2, parsing, prompt building) overlaps while device
+    # work serializes through DEVICE_LOCK. Both round-4 sweeps (PERF.md)
+    # favored pipelining: row-coalescing lost to head-of-line decode +
+    # row-linear compute (1.04 @ c=2), pipelining won (1.43 @ c=2).
+    coalesce = os.environ.get("MSC_BENCH_COALESCE", "0") == "1"
     cfg.model.backend.continuous_batching = concurrency > 1 and coalesce
 
     loader = MockNuScenesLoader(num_scenes=WARMUP + TIMED,
