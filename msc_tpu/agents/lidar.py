@@ -214,6 +214,10 @@ class LiDARAgent(BaseAgent):
         detected: List[DetectedObject] = []
         for batch_meta, response in zip(state["batch_metas"], responses):
             classifications = self._parse_classifications(response, batch_meta)
+            if self.cfg.hint_reconcile:
+                classifications = [
+                    self._reconcile_with_geometry(meta, cls)
+                    for meta, cls in zip(batch_meta, classifications)]
             for meta, cls in zip(batch_meta, classifications):
                 if cls["category"] != "unknown" and cls["confidence"] > 0.3:
                     detected.append(DetectedObject(
@@ -394,6 +398,30 @@ class LiDARAgent(BaseAgent):
         return dict(messages=messages, temperature=0.2,
                     task="cluster_classify", images=[tile],
                     max_new_tokens=192)
+
+    @staticmethod
+    def _reconcile_with_geometry(meta: Dict, cls: Dict) -> Dict:
+        """Host reconciliation of a parsed classification against the
+        geometry rule (LiDARConfig.hint_reconcile).
+
+        When the rule is confident (>=0.7 — a strong band match), its
+        answer wins over the model's; below that the model's vision call
+        decides.  Computed from the SAME rounded dims the classify
+        prompt prints, so the override agrees with the displayed hint
+        and with the analytic teacher's re-derivation.  Rationale in
+        RESULTS.md (r13 decomposition): the 35M student drops or
+        miscopies hint categories in multi-row classify JSON, producing
+        wrong-fact captions the deterministic rule gets right."""
+        from msc_tpu.serving.analytic import classify_cluster_geometry
+
+        d = meta["dimensions"]
+        g = classify_cluster_geometry(
+            (float(f"{d[0]:.1f}"), float(f"{d[1]:.1f}"),
+             float(f"{d[2]:.1f}")), int(meta["num_points"]))
+        if g["confidence"] >= 0.7 and g["category"] != cls["category"]:
+            return {"category": g["category"],
+                    "confidence": g["confidence"]}
+        return cls
 
     @staticmethod
     def _parse_classifications(response: str, metas: List[Dict]) -> List[Dict]:

@@ -197,6 +197,19 @@ class LiDARConfig:
     classify_hints: bool = field(
         default_factory=lambda: os.environ.get(
             "MSC_CLASSIFY_HINTS", "").lower() in ("1", "true", "yes"))
+    # Post-parse host reconciliation: when the geometry rule is CONFIDENT
+    # (>=0.7, a strong band match in classify_cluster_geometry) and the
+    # model's parsed category disagrees, take the rule's answer.  The
+    # r13 decomposition showed the 35M student fails to copy the hint
+    # through a 10-row classify JSON (93 lidar_only wrong-fact failures
+    # from captions reporting 0 of objects the geometry rule detects);
+    # this is the classify-output analogue of the MQA fact line — the
+    # deterministic data-plane job moves to host glue, vision decides
+    # only the uncertain clusters.  Pure serving-time glue (training
+    # never sees parsed categories), so it composes with any checkpoint.
+    hint_reconcile: bool = field(
+        default_factory=lambda: os.environ.get(
+            "MSC_HINT_RECONCILE", "").lower() in ("1", "true", "yes"))
 
 
 @dataclass

@@ -407,3 +407,44 @@ def test_checkpoint_flags_sidecar_sets_classify_hints(tmp_path, monkeypatch):
     pipe3 = SemanticCaptioningPipeline(cfg, backend=FakeBackend(),
                                        verbose=False)
     assert pipe3.lidar_config.classify_hints is False
+
+
+def test_hint_reconcile_overrides_confident_geometry_disagreement():
+    """With LiDARConfig.hint_reconcile, a parsed category that disagrees
+    with a CONFIDENT geometry rule (>=0.7) is replaced by the rule's
+    answer; uncertain rules leave the model's answer alone, and the
+    default (off) changes nothing.  This is the classify-output analogue
+    of the MQA fact line (r13 decomposition: 93 lidar_only wrong-fact
+    failures were captions reporting 0 of objects the rule detects)."""
+    import numpy as np
+
+    from msc_tpu.agents.lidar import LiDARAgent
+    from msc_tpu.config import LiDARConfig
+
+    car_meta = {"dimensions": np.array([4.3, 1.8, 1.6]),
+                "num_points": 840}            # rule: car @ 0.85
+    vague_meta = {"dimensions": np.array([7.0, 1.0, 0.5]),
+                  "num_points": 40}           # rule: unknown @ 0.5
+
+    # confident rule + disagreement -> rule wins
+    out = LiDARAgent._reconcile_with_geometry(
+        car_meta, {"category": "pedestrian", "confidence": 0.9})
+    assert out == {"category": "car", "confidence": 0.85}
+
+    # confident rule + agreement -> model's record kept (its confidence)
+    out = LiDARAgent._reconcile_with_geometry(
+        car_meta, {"category": "car", "confidence": 0.6})
+    assert out == {"category": "car", "confidence": 0.6}
+
+    # uncertain rule -> vision decides
+    out = LiDARAgent._reconcile_with_geometry(
+        vague_meta, {"category": "truck", "confidence": 0.7})
+    assert out == {"category": "truck", "confidence": 0.7}
+
+    # a confident rule rescues a dropped-by-gate "unknown" model answer
+    out = LiDARAgent._reconcile_with_geometry(
+        car_meta, {"category": "unknown", "confidence": 0.5})
+    assert out == {"category": "car", "confidence": 0.85}
+
+    # default off: after_classify must not reconcile
+    assert LiDARConfig().hint_reconcile is False
