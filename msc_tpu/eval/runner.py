@@ -69,7 +69,9 @@ class ComprehensiveMQARunner:
                                 num_test_scenes: int = 5,
                                 output_csv: Optional[str] = None,
                                 resume: bool = True,
-                                scene_offset: int = 0) -> pd.DataFrame:
+                                scene_offset: int = 0,
+                                config_names: Optional[List[str]] = None
+                                ) -> pd.DataFrame:
         tokens = self._index_sample_tokens()
         print(f"Found {len(tokens)} available sample tokens")
         questions_df = self.evaluator.mqa_data[
@@ -89,6 +91,13 @@ class ComprehensiveMQARunner:
             print(f"TEST MODE: {len(keep)} scenes, {len(questions_df)} questions")
 
         configs = self.config_generator.generate_all_configs()
+        if config_names:
+            unknown = set(config_names) - set(configs)
+            if unknown:
+                raise ValueError(f"unknown modality configs: {sorted(unknown)}"
+                                 f" (have: {sorted(configs)})")
+            configs = {k: v for k, v in configs.items() if k in config_names}
+            print(f"CONFIG SUBSET: {sorted(configs)}")
 
         # resume: load already-finished (token, config, question) keys
         done = set()
@@ -246,6 +255,11 @@ def main():
     ap.add_argument("--mock-scenes", type=int, default=None,
                     help="total synthetic scenes to generate MQA for")
     ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated modality-config subset "
+                         "(e.g. lidar_only,cams_lidar) — re-measure "
+                         "specific ablation legs without re-running "
+                         "the whole sweep")
     args = ap.parse_args()
 
     cfg = Config.from_env()
@@ -282,7 +296,8 @@ def main():
         test_mode=cfg.eval.test_mode,
         num_test_scenes=cfg.eval.num_test_scenes,
         output_csv=out_csv, resume=cfg.eval.resume,
-        scene_offset=args.scene_offset)
+        scene_offset=args.scene_offset,
+        config_names=(args.configs.split(",") if args.configs else None))
     print(f"Duration: {datetime.now() - t0}")
     runner.analyze_results(df)
     if hasattr(pipeline, "timer"):
