@@ -12,7 +12,8 @@ Behavior parity with `src/agents/structure_caption/caption_agent.py:47-167`:
 from __future__ import annotations
 
 import json
-from typing import Any, Dict
+import re
+from typing import Any, Dict, Optional
 
 from msc_tpu.agents.base import BaseAgent
 from msc_tpu.agents.schemas import StructuredCaption
@@ -53,6 +54,96 @@ Q: "Is there a <obj>pedestrian</obj> in <cam>front left</cam>?"
 A: "<ans>yes</ans>, there is <target><cnt>1</cnt> <obj>pedestrian</obj></target>."
 
 Be precise with counts and use the exact XML format."""
+
+
+_CAM_DIRECTIONS = ["front", "front left", "front right",
+                   "back", "back left", "back right"]
+
+# interned template specs: the engine's FSM cache keys by id(schema), so
+# the SAME dict object must come back for the same (family, obj) — one
+# compiled token table per distinct template (~5 families x ~9 objects)
+_MQA_RF_CACHE: Dict[tuple, Optional[dict]] = {}
+
+
+def mqa_response_format(question: str) -> Optional[dict]:
+    """Constrained-decode template for an MQA answer (None = free text).
+
+    The MQA answer contract is a rigid tag template (data/mqa.py:117-190)
+    in which only the count / yes-no / direction / coordinate slots carry
+    information — the <obj> echo, the tag skeleton, and the glue text are
+    deterministic functions of the QUESTION.  Constraining the decode to
+    the template (serving/structured.py template automata) makes those
+    parts retrieval instead of generation: the r13 held-out decomposition
+    measured 63/360 failures with the RIGHT count but a wrong object echo
+    or malformed tags, plus 46 with a garbled/missing <cnt> — the format
+    failure class this eliminates.  The model still chooses every
+    informative slot.  Enabled by ModelConfig.mqa_template
+    (MSC_MQA_TEMPLATE=1); the reference's counterpart surface is the
+    response_format JSON the GPT-4o path constrains with
+    (`src/agents/base_agent.py:27-34`)."""
+    m = re.search(r"How many <obj>(.+?)</obj> are in", question)
+    if m:
+        key = ("count", m.group(1))
+        if key not in _MQA_RF_CACHE:
+            _MQA_RF_CACHE[key] = {"type": "template", "parts": [
+                {"lit": "There are <target><cnt>"},
+                {"type": "count", "maxDigits": 3},
+                {"lit": f"</cnt> <obj>{key[1]}</obj></target>."},
+            ]}
+        return _MQA_RF_CACHE[key]
+    m = re.search(r"Is there a <obj>(.+?)</obj>", question)
+    if m:
+        obj = m.group(1)
+        plural = obj if obj.endswith("s") else obj + "s"
+        key = ("existence", obj)
+        if key not in _MQA_RF_CACHE:
+            # yes <=> count>=1 by construction: the two branches share
+            # the "<ans>" prefix (factored into the leading literal) and
+            # diverge on 'y'/'n'; the no-branch hard-wires <cnt>0
+            _MQA_RF_CACHE[key] = {"type": "template", "parts": [
+                {"lit": "<ans>"},
+                {"type": "oneof", "options": [
+                    {"type": "template", "parts": [
+                        {"lit": "yes</ans>, there are <target><cnt>"},
+                        {"type": "count", "maxDigits": 3, "min1": True},
+                    ]},
+                    {"lit": "no</ans>, there are <target><cnt>0"},
+                ]},
+                {"lit": f"</cnt> <obj>{plural}</obj></target>."},
+            ]}
+        return _MQA_RF_CACHE[key]
+    m = re.search(r"Which camera shows the nearest <obj>(.+?)</obj>",
+                  question)
+    if m:
+        key = ("camera", m.group(1))
+        if key not in _MQA_RF_CACHE:
+            _MQA_RF_CACHE[key] = {"type": "template", "parts": [
+                {"lit": f"The <obj>{key[1]}</obj> appears in the <cam>"},
+                {"type": "choice", "values": _CAM_DIRECTIONS},
+                {"lit": "</cam> camera."},
+            ]}
+        return _MQA_RF_CACHE[key]
+    m = re.search(r"How far away is the nearest <obj>(.+?)</obj>", question)
+    if m:
+        key = ("distance", m.group(1))
+        if key not in _MQA_RF_CACHE:
+            _MQA_RF_CACHE[key] = {"type": "template", "parts": [
+                {"lit": f"The nearest <obj>{key[1]}</obj> is <dst>"},
+                {"type": "decimal1", "maxDigits": 3},
+                {"lit": "m</dst> away."},
+            ]}
+        return _MQA_RF_CACHE[key]
+    m = re.search(r"Where is the nearest <obj>(.+?)</obj>", question)
+    if m:
+        key = ("location", m.group(1))
+        if key not in _MQA_RF_CACHE:
+            coord = {"type": "decimal1", "maxDigits": 3, "signed": True}
+            _MQA_RF_CACHE[key] = {"type": "template", "parts": [
+                {"lit": f"The nearest <obj>{key[1]}</obj> is at <loc>("},
+                coord, {"lit": ", "}, dict(coord), {"lit": ")</loc>."},
+            ]}
+        return _MQA_RF_CACHE[key]
+    return None
 
 
 def build_mqa_messages(question: str, structured_caption: Dict) -> list:
@@ -103,6 +194,10 @@ def build_mqa_messages(question: str, structured_caption: Dict) -> list:
 class CaptionGenerator(BaseAgent):
     """Generates final structured captions and answers MQA questions."""
 
+    # constrained MQA decode (ModelConfig.mqa_template); the pipeline
+    # sets this after construction so serial and batched paths agree
+    mqa_template: bool = False
+
     def generate_structured_caption(self, refined_caption: str) -> Dict[str, Any]:
         user = (f"Generate a structured caption from this refined caption:\n\n"
                 f"{refined_caption}\n\nCreate a complete, accurate caption "
@@ -150,7 +245,10 @@ class CaptionGenerator(BaseAgent):
         messages = build_mqa_messages(question, structured_caption)
         try:
             return self.call_llm(messages, temperature=0.0, task="mqa_answer",
-                                 max_new_tokens=64)
+                                 max_new_tokens=64,
+                                 response_format=(
+                                     mqa_response_format(question)
+                                     if self.mqa_template else None))
         except Exception as e:
             print(f"  [CaptionGenerator] MQA error: {e}")
             return "Error: Unable to answer question"

@@ -167,6 +167,16 @@ class ModelConfig:
     # calls/scene with unchanged result-dict contract.  The serial path
     # (False) keeps the reference's exact per-call sequencing.
     fused_calls: bool = True
+    # Constrained MQA answer decoding (agents/caption.py
+    # mqa_response_format): decode each answer against its question's
+    # tag-template automaton so only the informative slots (count /
+    # yes-no / direction / coordinates) are model-chosen.  Serving-time
+    # glue — training targets already ARE these templates, so there is
+    # no train/serve mismatch; env-keyed (MSC_MQA_TEMPLATE) so eval A/Bs
+    # stay explicit.
+    mqa_template: bool = field(
+        default_factory=lambda: os.environ.get(
+            "MSC_MQA_TEMPLATE", "").lower() in ("1", "true", "yes"))
 
 
 @dataclass

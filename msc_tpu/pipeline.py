@@ -103,6 +103,8 @@ class SemanticCaptioningPipeline:
         # Layer 4: caption generation
         self.caption_generator = CaptionGenerator(self.client, cfg.small_model,
                                                   "CaptionGenerator")
+        self.caption_generator.mqa_template = getattr(
+            cfg, "mqa_template", False)
 
     def _log(self, msg: str):
         if self.verbose:
@@ -324,14 +326,18 @@ class SemanticCaptioningPipeline:
         (throughput lever, SURVEY.md section 7 step 7).  Uses the SAME
         canonical prompt as the serial path — batched/serial answers and
         the distillation training data must never drift apart."""
-        from msc_tpu.agents.caption import build_mqa_messages
+        from msc_tpu.agents.caption import (build_mqa_messages,
+                                            mqa_response_format)
 
         caption = scene_results["structured_caption"]
+        use_template = getattr(self.config, "mqa_template", False)
         # greedy: MQA answers are scored exact-match, and the answer is a
         # deterministic function of the caption facts — sampling noise
         # (temp 0.2 flipped measured answers batch-vs-serial) only costs
         calls = [dict(messages=build_mqa_messages(q, caption),
-                      temperature=0.0, task="mqa_answer", max_new_tokens=64)
+                      temperature=0.0, task="mqa_answer", max_new_tokens=64,
+                      response_format=(mqa_response_format(q)
+                                       if use_template else None))
                  for q in questions]
         with self.timer.stage("mqa.answer_batch"):
             return self.client.call_llm_batch(calls)

@@ -128,6 +128,10 @@ def _parse_structured(text: str, response_format: Any) -> Any:
     if isinstance(response_format, type) and hasattr(response_format,
                                                      "model_validate_json"):
         return response_format.model_validate_json(text)
+    if (isinstance(response_format, dict)
+            and response_format.get("type") in ("template", "oneof",
+                                                "choice")):
+        return text  # raw-text template automaton: no JSON to parse
     return json.loads(text)
 
 

@@ -21,6 +21,21 @@ SuggestionResponse, RefinedFeaturesResponse):
 
 Pydantic model classes are accepted directly (converted via
 ``model_json_schema`` with $ref resolution).
+
+Beyond JSON, the compiler also builds RAW-TEXT TEMPLATE automata
+(constrained decoding over a fixed answer template with free slots) —
+the MQA answer contract is a rigid tag template where only the number /
+direction / coordinate slots carry information, so constraining the
+decode to the template eliminates the format-and-echo failure class
+outright (r13 held-out decomposition: 63/360 failures had the RIGHT
+count but a wrong object echo or malformed tags; see
+agents/caption.py mqa_response_format):
+
+    {"type": "template", "parts": [{"lit": str} | <spec>, ...]}
+    {"type": "oneof", "options": [<spec>, ...]}      (branch union)
+    {"type": "choice", "values": ["front", ...]}     (raw literal trie)
+    {"type": "count", "maxDigits": n, "min1": bool}  (unsigned int)
+    {"type": "decimal1", "maxDigits": n, "signed": b} (%.1f number)
 """
 
 from __future__ import annotations
@@ -114,7 +129,37 @@ class _Builder:
             spec = pydantic_to_spec(spec)
         if "enum" in spec:
             return self._enum(spec["enum"], entries)
+        if "lit" in spec:  # bare literal (template part / oneof branch)
+            return self.literal(entries, spec["lit"])
         t = spec.get("type")
+        if t == "template":
+            cur = entries
+            for part in spec["parts"]:
+                if "lit" in part:
+                    cur = self.literal(cur, part["lit"])
+                else:
+                    cur = self.compile_value(part, cur)
+            return cur
+        if t == "oneof":
+            # branch union: options must diverge within their first byte
+            # relative to each other (the builder's add() raises on
+            # ambiguity) — factor shared prefixes into the surrounding
+            # template's literals
+            exits: List[int] = []
+            for opt in spec["options"]:
+                exits.extend(self.compile_value(opt, entries))
+            return exits
+        if t == "choice":
+            return self._choice(spec["values"], entries)
+        if t == "count":
+            return self._count(entries,
+                               max_digits=int(spec.get("maxDigits", 3)),
+                               min1=bool(spec.get("min1", False)))
+        if t == "decimal1":
+            return self._decimal1(entries,
+                                  max_int_digits=int(
+                                      spec.get("maxDigits", 3)),
+                                  signed=bool(spec.get("signed", False)))
         if t == "object":
             return self._object(spec, entries)
         if t == "array":
@@ -202,6 +247,75 @@ class _Builder:
                     self.add(fcur, d, fnxt)
                 exits.append(fnxt)
                 fcur = fnxt
+        return exits
+
+    def _count(self, entries: List[int], max_digits: int = 3,
+               min1: bool = False) -> List[int]:
+        """Unsigned decimal count: "0" | [1-9][0-9]* (no sign, no leading
+        zeros — the grammar of every <cnt> slot).  min1 drops the lone
+        zero (the yes-branch of an existence answer must count >=1)."""
+        exits: List[int] = []
+        if not min1:
+            zero = self.new_state()
+            for s in entries:
+                self.add(s, ord("0"), zero)
+            exits.append(zero)
+        cur = None
+        for i in range(max_digits):
+            nxt = self.new_state()
+            for d in (_DIGITS[1:] if i == 0 else _DIGITS):
+                if i == 0:
+                    for s in entries:
+                        self.add(s, d, nxt)
+                else:
+                    self.add(cur, d, nxt)
+            exits.append(nxt)
+            cur = nxt
+        return exits
+
+    def _decimal1(self, entries: List[int], max_int_digits: int = 3,
+                  signed: bool = False) -> List[int]:
+        """Python ``%.1f`` output: optional '-', count-grammar integer
+        part, '.', exactly ONE fractional digit — the byte grammar of
+        the <dst>/<loc> slots the MQA generator emits."""
+        starts = list(entries)
+        if signed:
+            after_sign = self.new_state()
+            for s in entries:
+                self.add(s, ord("-"), after_sign)
+            starts.append(after_sign)
+        int_exits = self._count(starts, max_digits=max_int_digits)
+        dot = self.new_state()
+        for e in int_exits:
+            self.add(e, ord("."), dot)
+        frac = self.new_state()
+        for d in _DIGITS:
+            self.add(dot, d, frac)
+        return [frac]
+
+    def _choice(self, values: List[str], entries: List[int]) -> List[int]:
+        """Raw (unquoted) literal alternatives as a byte trie — unlike
+        _enum there are no JSON quotes; used for free template slots
+        with a closed vocabulary (camera directions).  Values that are
+        prefixes of other values are fine: the shared node is both an
+        exit and an interior state (the closing literal's first byte
+        must not collide with any continuation byte — true for all
+        '<'-delimited template slots)."""
+        exits: List[int] = []
+        trie: Dict[Tuple[int, ...], int] = {}
+        for v in values:
+            data = v.encode("utf-8")
+            for i in range(1, len(data) + 1):
+                prefix = tuple(data[:i])
+                if prefix not in trie:
+                    trie[prefix] = self.new_state()
+                    if i == 1:
+                        for s in entries:
+                            self.add(s, data[0], trie[prefix])
+                    else:
+                        self.add(trie[tuple(data[:i - 1])], data[i - 1],
+                                 trie[prefix])
+            exits.append(trie[tuple(data)])
         return exits
 
     def _enum(self, values: List[str], entries: List[int]) -> List[int]:

@@ -638,3 +638,87 @@ def test_budget_forcing_completes_json():
         out = engine.generate_batch([req])[0]
         parsed = schema.model_validate_json(out)  # must not raise
         assert parsed is not None
+
+
+# round 4: raw-text template automata (constrained MQA answers)
+
+def test_template_dfa_count_family():
+    from msc_tpu.agents.caption import mqa_response_format
+
+    rf = mqa_response_format("How many <obj>barriers</obj> are in the scene?")
+    dfa = structured.compile_schema(rf)
+    assert walk(dfa, "There are <target><cnt>0</cnt> <obj>barriers</obj></target>.")
+    assert walk(dfa, "There are <target><cnt>23</cnt> <obj>barriers</obj></target>.")
+    # wrong object echo, leading zero, missing cnt: all rejected
+    assert not walk(dfa, "There are <target><cnt>2</cnt> <obj>cars</obj></target>.")
+    assert not walk(dfa, "There are <target><cnt>02</cnt> <obj>barriers</obj></target>.")
+    assert not walk(dfa, "There are <target><obj>barriers</obj></target>.")
+    # camera-count questions share the same answer template (interned)
+    rf2 = mqa_response_format("How many <obj>barriers</obj> are in <cam>front</cam>?")
+    assert rf2 is rf
+
+
+def test_template_dfa_existence_consistency():
+    """yes <=> cnt>=1 is enforced by the automaton's branch structure."""
+    from msc_tpu.agents.caption import mqa_response_format
+
+    rf = mqa_response_format("Is there a <obj>adult pedestrian</obj> in <cam>front</cam>?")
+    dfa = structured.compile_schema(rf)
+    ok = "<ans>yes</ans>, there are <target><cnt>1</cnt> <obj>adult pedestrians</obj></target>."
+    no = "<ans>no</ans>, there are <target><cnt>0</cnt> <obj>adult pedestrians</obj></target>."
+    assert walk(dfa, ok)
+    assert walk(dfa, no)
+    # inconsistent pairs are unreachable
+    assert not walk(dfa, ok.replace("<cnt>1</cnt>", "<cnt>0</cnt>"))
+    assert not walk(dfa, no.replace("<cnt>0</cnt>", "<cnt>3</cnt>"))
+
+
+def test_template_dfa_cam_dst_loc():
+    from msc_tpu.agents.caption import mqa_response_format
+
+    cam = mqa_response_format("Which camera shows the nearest <obj>barrier</obj>?")
+    dfa = structured.compile_schema(cam)
+    assert walk(dfa, "The <obj>barrier</obj> appears in the <cam>front</cam> camera.")
+    assert walk(dfa, "The <obj>barrier</obj> appears in the <cam>front left</cam> camera.")
+    assert not walk(dfa, "The <obj>barrier</obj> appears in the <cam>rear</cam> camera.")
+
+    dst = mqa_response_format("How far away is the nearest <obj>barrier</obj>?")
+    dfa = structured.compile_schema(dst)
+    assert walk(dfa, "The nearest <obj>barrier</obj> is <dst>7.3m</dst> away.")
+    assert walk(dfa, "The nearest <obj>barrier</obj> is <dst>20.8m</dst> away.")
+    assert not walk(dfa, "The nearest <obj>barrier</obj> is <dst>7m</dst> away.")
+    assert not walk(dfa, "The nearest <obj>barrier</obj> is <dst>-7.3m</dst> away.")
+
+    loc = mqa_response_format("Where is the nearest <obj>barrier</obj>?")
+    dfa = structured.compile_schema(loc)
+    assert walk(dfa, "The nearest <obj>barrier</obj> is at <loc>(-2.1, 7.0)</loc>.")
+    assert walk(dfa, "The nearest <obj>barrier</obj> is at <loc>(17.7, -11.0)</loc>.")
+    assert not walk(dfa, "The nearest <obj>barrier</obj> is at <loc>(2, 7)</loc>.")
+
+    # unknown question shapes stay unconstrained
+    assert mqa_response_format("Describe the scene.") is None
+
+
+def test_template_constrained_generation_untrained():
+    """An untrained tiny VLM under a template automaton must emit a
+    byte-exact template instance — only the count slot varies."""
+    import re as _re
+
+    from msc_tpu.agents.caption import mqa_response_format
+
+    engine = InferenceEngine(TINY, seed=0, num_pages=64,
+                             max_pages_per_seq=32)
+    rf = mqa_response_format("How many <obj>cars</obj> are in the scene?")
+    req = Request(messages=[{"role": "user", "content": "answer"}],
+                  schema=rf, max_new_tokens=128)
+    out = engine.generate_batch([req])[0]
+    assert _re.fullmatch(
+        r"There are <target><cnt>\d{1,3}</cnt> <obj>cars</obj></target>\.",
+        out), out
+
+
+def test_parse_structured_template_passthrough():
+    from msc_tpu.serving.client import _parse_structured
+
+    rf = {"type": "template", "parts": [{"lit": "x"}]}
+    assert _parse_structured("raw text", rf) == "raw text"
