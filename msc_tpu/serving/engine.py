@@ -516,6 +516,24 @@ class InferenceEngine:
                 [np.zeros((1, trans.shape[1]), np.int32), shifted])
             accept2 = np.concatenate([[True], dfa.accept])
             dist2 = np.concatenate([[0], dfa.dist]).astype(np.int32)
+            # bucket the STATE dimension: the decode program traces
+            # fsm_trans by shape, so every distinct state count would
+            # otherwise compile a fresh program (the ~45 per-question MQA
+            # template automata all differ by a few states).  Padding to
+            # shape buckets makes them share one compiled decode; pad
+            # rows are unreachable (-1 transitions).
+            S = trans2.shape[0]
+            for sb in (64, 128, 256, 512, 1024, 2048, 4096, 8192):
+                if S <= sb:
+                    S = sb
+                    break
+            if S > trans2.shape[0]:
+                pad = S - trans2.shape[0]
+                trans2 = np.concatenate(
+                    [trans2, np.full((pad, trans2.shape[1]), -1, np.int32)])
+                accept2 = np.concatenate([accept2, np.zeros(pad, bool)])
+                dist2 = np.concatenate(
+                    [dist2, np.full(pad, 2**30, np.int32)])
             hit = (jnp.asarray(trans2), jnp.asarray(accept2),
                    jnp.asarray(dist2), int(dfa.dist[0]))
             self._fsm_cache[key] = hit
