@@ -18,6 +18,16 @@ what the deterministic analytic teacher would answer:
                        question (no fact line, no marker objects).
                        Retrieval-channel gap.
 
+``read`` failures are further split by what the constrained-template
+decoder (agents/caption.py mqa_response_format) can reach:
+
+  * ``read/format`` — the predicted <cnt> matches GT (or the GT has no
+                      <cnt>) but the object echo or tag skeleton is
+                      wrong/garbled — unreachable under
+                      MSC_MQA_TEMPLATE=1.
+  * ``read/value``  — the model chose a wrong number/value in the free
+                      slot; only training (or a bigger reader) helps.
+
 This is the committed form of the round-4 ad-hoc analysis behind
 RESULTS.md "Where every failure lives" (185 read / 128 wrong-fact /
 0 missing-fact for r12) — the numbers that pick each round's training
@@ -41,6 +51,9 @@ def _exact(evaluator, pred_text: str, gt_text: str) -> bool:
     gt = evaluator.parse_ground_truth_answer(gt_text)
     m = evaluator.compare_answers(pred["objects"], gt["objects"])
     return m["exact_match"] == 1.0
+
+
+_COLS = ("read/format", "read/value", "wrong_fact", "missing_fact")
 
 
 def decompose(csv_path: str, examples: int = 3) -> Dict[str, int]:
@@ -76,7 +89,19 @@ def decompose(csv_path: str, examples: int = 3) -> Dict[str, int]:
         except Exception as e:  # continue-on-error parity with the runner
             analytic = f"<error: {e}>"
         if _exact(ev, analytic, gt):
-            cls = "read"
+            # template-reachability split: right number in the free slot
+            # but wrong echo/skeleton is a format failure the constrained
+            # decoder eliminates; a wrong number is a true value failure
+            import re as _re
+
+            def _cnt(s):
+                m = _re.search(r"<cnt>(\d+)</cnt>", s, _re.IGNORECASE)
+                return m.group(1) if m else None
+
+            gt_cnt = _cnt(gt.split(":")[0])
+            cls = ("read/value" if (gt_cnt is not None
+                                    and _cnt(pred) != gt_cnt)
+                   else "read/format")
         else:
             # the caption couldn't answer the question: wrong facts if it
             # carried ANY usable facts (fact line or marker objects),
@@ -104,21 +129,19 @@ def decompose(csv_path: str, examples: int = 3) -> Dict[str, int]:
     for cls, n in classes.most_common():
         print(f"{cls:<14} {n:>6}   {n / max(1, n_wrong):.1%}")
     print(f"\n{'question type':<22} " + " ".join(
-        f"{c:>12}" for c in ("read", "wrong_fact", "missing_fact")))
+        f"{c:>12}" for c in _COLS))
     print("-" * 62)
     for qtype in sorted(by_type):
         c = by_type[qtype]
         print(f"{qtype:<22} " + " ".join(
-            f"{c.get(k, 0):>12}" for k in ("read", "wrong_fact",
-                                           "missing_fact")))
+            f"{c.get(k, 0):>12}" for k in _COLS))
     print(f"\n{'config':<22} " + " ".join(
-        f"{c:>12}" for c in ("read", "wrong_fact", "missing_fact")))
+        f"{c:>12}" for c in _COLS))
     print("-" * 62)
     for cfg in sorted(by_config):
         c = by_config[cfg]
         print(f"{cfg:<22} " + " ".join(
-            f"{c.get(k, 0):>12}" for k in ("read", "wrong_fact",
-                                           "missing_fact")))
+            f"{c.get(k, 0):>12}" for k in _COLS))
     return dict(classes)
 
 
