@@ -112,25 +112,46 @@ def mqa_response_format(question: str) -> Optional[dict]:
                 {"lit": f"</cnt> <obj>{plural}</obj></target>."},
             ]}
         return _MQA_RF_CACHE[key]
+    # The camera/distance/location automata each carry BOTH answer
+    # branches the curriculum emits (serving/analytic.py
+    # _format_mqa_answer): the present-object form AND the absent-object
+    # form ("No camera shows...", "There is no ... visible...",
+    # "...is unknown.").  Without the absent branch a caption lacking
+    # the object would force the model to fabricate a value (round-4
+    # advisor finding).  oneof branches must diverge in their first
+    # byte, so shared prefixes are factored into leading literals.
     m = re.search(r"Which camera shows the nearest <obj>(.+?)</obj>",
                   question)
     if m:
         key = ("camera", m.group(1))
         if key not in _MQA_RF_CACHE:
-            _MQA_RF_CACHE[key] = {"type": "template", "parts": [
-                {"lit": f"The <obj>{key[1]}</obj> appears in the <cam>"},
-                {"type": "choice", "values": _CAM_DIRECTIONS},
-                {"lit": "</cam> camera."},
+            # branches diverge 'T' (present) / 'N' (absent)
+            _MQA_RF_CACHE[key] = {"type": "oneof", "options": [
+                {"type": "template", "parts": [
+                    {"lit": f"The <obj>{key[1]}</obj> appears in the "
+                            "<cam>"},
+                    {"type": "choice", "values": _CAM_DIRECTIONS},
+                    {"lit": "</cam> camera."},
+                ]},
+                {"lit": f"No camera shows a <obj>{key[1]}</obj>."},
             ]}
         return _MQA_RF_CACHE[key]
     m = re.search(r"How far away is the nearest <obj>(.+?)</obj>", question)
     if m:
         key = ("distance", m.group(1))
         if key not in _MQA_RF_CACHE:
+            # shared "The" factored out; branches diverge ' ' / 'r'
             _MQA_RF_CACHE[key] = {"type": "template", "parts": [
-                {"lit": f"The nearest <obj>{key[1]}</obj> is <dst>"},
-                {"type": "decimal1", "maxDigits": 3},
-                {"lit": "m</dst> away."},
+                {"lit": "The"},
+                {"type": "oneof", "options": [
+                    {"type": "template", "parts": [
+                        {"lit": f" nearest <obj>{key[1]}</obj> is <dst>"},
+                        {"type": "decimal1", "maxDigits": 3},
+                        {"lit": "m</dst> away."},
+                    ]},
+                    {"lit": f"re is no <obj>{key[1]}</obj> visible to "
+                            "measure a distance to."},
+                ]},
             ]}
         return _MQA_RF_CACHE[key]
     m = re.search(r"Where is the nearest <obj>(.+?)</obj>", question)
@@ -138,9 +159,19 @@ def mqa_response_format(question: str) -> Optional[dict]:
         key = ("location", m.group(1))
         if key not in _MQA_RF_CACHE:
             coord = {"type": "decimal1", "maxDigits": 3, "signed": True}
+            # shared "The " factored out; branches diverge 'n' / 'l'
             _MQA_RF_CACHE[key] = {"type": "template", "parts": [
-                {"lit": f"The nearest <obj>{key[1]}</obj> is at <loc>("},
-                coord, {"lit": ", "}, dict(coord), {"lit": ")</loc>."},
+                {"lit": "The "},
+                {"type": "oneof", "options": [
+                    {"type": "template", "parts": [
+                        {"lit": f"nearest <obj>{key[1]}</obj> is at "
+                                "<loc>("},
+                        coord, {"lit": ", "}, dict(coord),
+                        {"lit": ")</loc>."},
+                    ]},
+                    {"lit": f"location of the <obj>{key[1]}</obj> is "
+                            "unknown."},
+                ]},
             ]}
         return _MQA_RF_CACHE[key]
     return None

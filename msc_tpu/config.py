@@ -171,12 +171,15 @@ class ModelConfig:
     # mqa_response_format): decode each answer against its question's
     # tag-template automaton so only the informative slots (count /
     # yes-no / direction / coordinates) are model-chosen.  Serving-time
-    # glue — training targets already ARE these templates, so there is
-    # no train/serve mismatch; env-keyed (MSC_MQA_TEMPLATE) so eval A/Bs
-    # stay explicit.
+    # glue; each automaton carries both the present-object and the
+    # absent-object answer branch (the curriculum emits both forms), so
+    # every training target stays reachable under the constraint.
+    # Default ON since r14c measured 97.52% overall with it (+15.4 over
+    # unconstrained r14; RESULTS.md round 5) — opt out with
+    # MSC_MQA_TEMPLATE=0 for unassisted A/Bs.
     mqa_template: bool = field(
         default_factory=lambda: os.environ.get(
-            "MSC_MQA_TEMPLATE", "").lower() in ("1", "true", "yes"))
+            "MSC_MQA_TEMPLATE", "1").lower() in ("1", "true", "yes"))
 
 
 @dataclass
@@ -217,9 +220,12 @@ class LiDARConfig:
     # deterministic data-plane job moves to host glue, vision decides
     # only the uncertain clusters.  Pure serving-time glue (training
     # never sees parsed categories), so it composes with any checkpoint.
+    # Default ON since r14c measured lidar_only 94.76% with it (= the
+    # analytic information ceiling, vs 45.71% raw r14; RESULTS.md
+    # round 5) — opt out with MSC_HINT_RECONCILE=0.
     hint_reconcile: bool = field(
         default_factory=lambda: os.environ.get(
-            "MSC_HINT_RECONCILE", "").lower() in ("1", "true", "yes"))
+            "MSC_HINT_RECONCILE", "1").lower() in ("1", "true", "yes"))
 
 
 @dataclass

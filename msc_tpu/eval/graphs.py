@@ -56,6 +56,13 @@ class MQAResultsVisualizer:
                           if "config_name" in self.results.columns
                           else [("all", self.results)]):
             print(f"{name:<25} {self._accuracy(sub):>10.2%} {len(sub):>10}")
+        # the single OVERALL number every RESULTS.md table leads with —
+        # printed explicitly so no scored CSV is ever ambiguous about its
+        # headline (round-4 verdict: the unscored r14c run had to be
+        # recomputed by hand)
+        print("-" * 48)
+        print(f"{'OVERALL':<25} {self._accuracy(self.results):>10.2%} "
+              f"{len(self.results):>10}")
         if self.baseline is not None:
             print(f"{'baseline':<25} "
                   f"{self._accuracy(self.baseline):>10.2%} "

@@ -202,8 +202,13 @@ class InferenceEngine:
         _t0 = _time.perf_counter()
         tok_lists = [self._tokenize(r) for r in requests]
         host_images = self._prep_request_images(requests)
-        _t_lock = _time.perf_counter()
         with DEVICE_LOCK:
+            # timestamp taken INSIDE the lock so stats['lock_s'] measures
+            # hold time only — taking it before the `with` would count
+            # lock-WAIT under concurrency>1, double-charging waiters'
+            # time against the holder and understating the pipelining
+            # ceiling the bench prints (round-4 advisor finding)
+            _t_lock = _time.perf_counter()
             result, meta = self._dispatch_locked(requests, schema,
                                                  tok_lists, host_images)
             B_real, B, T, max_new, had_prefix, img_embeds = meta

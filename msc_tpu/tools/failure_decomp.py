@@ -98,7 +98,11 @@ def decompose(csv_path: str, examples: int = 3) -> Dict[str, int]:
                 m = _re.search(r"<cnt>(\d+)</cnt>", s, _re.IGNORECASE)
                 return m.group(1) if m else None
 
-            gt_cnt = _cnt(gt.split(":")[0])
+            # run the regex on the FULL GT string: truncating at ':'
+            # would silently drop the <cnt> (misclassifying the row as
+            # read/format) for any answer form containing a colon before
+            # the tag (round-4 advisor finding)
+            gt_cnt = _cnt(gt)
             cls = ("read/value" if (gt_cnt is not None
                                     and _cnt(pred) != gt_cnt)
                    else "read/format")

@@ -42,8 +42,17 @@ def save_params(path: str, params: Any):
                 shutil.rmtree(nxt)
             ckptr.save(nxt, params, force=True)
             ckptr.wait_until_finished()
-            shutil.rmtree(path)
+            # swap via two renames, not rmtree(path) then rename: a crash
+            # mid-rmtree would leave a partially-deleted dir that
+            # restore_params would prefer over the complete __next
+            # (round-4 advisor finding).  rename is atomic, so at every
+            # instant either `path` or `__next` is a complete checkpoint.
+            old = path + "__old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
             os.rename(nxt, path)
+            shutil.rmtree(old)
         else:
             ckptr.save(path, params, force=True)
             ckptr.wait_until_finished()

@@ -446,5 +446,12 @@ def test_hint_reconcile_overrides_confident_geometry_disagreement():
         car_meta, {"category": "unknown", "confidence": 0.5})
     assert out == {"category": "car", "confidence": 0.85}
 
-    # default off: after_classify must not reconcile
-    assert LiDARConfig().hint_reconcile is False
+    # default ON since r14c shipped (97.52% with the lever; RESULTS.md
+    # round 5); MSC_HINT_RECONCILE=0 opts out for unassisted A/Bs
+    assert LiDARConfig().hint_reconcile is True
+    import os
+    os.environ["MSC_HINT_RECONCILE"] = "0"
+    try:
+        assert LiDARConfig().hint_reconcile is False
+    finally:
+        del os.environ["MSC_HINT_RECONCILE"]
