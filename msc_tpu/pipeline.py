@@ -71,6 +71,16 @@ class SemanticCaptioningPipeline:
                 self.lidar_config = _dc.replace(
                     self.lidar_config,
                     classify_hints=flags["classify_hints"] == "1")
+        # the fact-line format is a prompt contract too: a checkpoint
+        # trained on v3 fact lines ("Distance for this question: ...")
+        # must be served with them, and a pre-v3 checkpoint must never
+        # see them.  Explicit MSC_FACTS wins (set_facts_version no-ops).
+        if _os.path.isfile(flags_path):
+            with open(flags_path) as f:
+                flags = dict(l.strip().split("=", 1) for l in f
+                             if "=" in l)
+            from msc_tpu.serving.analytic import set_facts_version
+            set_facts_version(flags.get("facts", "v2"))
         self.parallel_l1 = parallel_l1
         self.verbose = verbose
         self.timer = StageTimer()

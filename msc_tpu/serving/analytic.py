@@ -26,6 +26,7 @@ the reference's information topology.
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -285,6 +286,10 @@ def question_facts(question: str, caption: Dict) -> Optional[str]:
         caption = {"objects": pseudo}
     target_obj, target_cam, count, matches = _question_matches(
         question, caption)
+    if facts_version() == "v3":
+        v3 = _question_facts_v3(question, target_obj, count, matches)
+        if v3 is not None:
+            return v3
     if target_obj is None:
         # untagged questions get the scene-total tally ONLY when they are
         # count/existence-shaped ("how many objects ..."); other untagged
@@ -312,6 +317,75 @@ def question_facts(question: str, caption: Dict) -> Optional[str]:
             near.append(f"at ({xy[0]:.1f}, {xy[1]:.1f})")
         parts.append(" ".join(near))
     return "Counts for this question: " + "; ".join(parts) + "."
+
+
+# ---------------------------------------------------------------------------
+# Fact-line format version.  v2 = one "Counts for this question: ..."
+# format for every family.  v3 leads distance/location/camera questions
+# with the FAMILY'S OWN answer value immediately after the colon —
+# the positional motif the distilled student demonstrably learned for
+# counts ("first value after the colon") while never forming a
+# mid-sentence nearest-payload copy circuit (round-5 probe: 0/9 slot
+# copies on fresh training-style prompts, mode-collapsed outputs).
+# Prompt-format contract: a checkpoint must be SERVED with the fact
+# format it was TRAINED on, so the version rides the `<ckpt>.flags`
+# sidecar (pipeline.py) exactly like classify_hints; MSC_FACTS wins
+# when set explicitly.
+_FACTS_VERSION = os.environ.get("MSC_FACTS", "v2") or "v2"
+
+
+def facts_version() -> str:
+    return _FACTS_VERSION
+
+
+def set_facts_version(v: str) -> None:
+    """Sidecar override hook (pipeline.py); explicit MSC_FACTS wins."""
+    global _FACTS_VERSION
+    if not os.environ.get("MSC_FACTS"):
+        _FACTS_VERSION = v or "v2"
+
+
+def _question_facts_v3(question: str, target_obj: Optional[str],
+                       count: int, matches) -> Optional[str]:
+    """v3 fact line for the nearest-payload families; None = fall back
+    to the v2 "Counts for this question" line (count/existence keep the
+    format their copy circuit formed on).  The absent conditions mirror
+    `_format_mqa_answer` exactly so the lead value is "none"/"unknown"
+    precisely when the analytic answer takes the absent-form branch."""
+    obj_word = target_obj if target_obj else "objects"
+    nearest = min(matches, key=lambda t: t[0], default=None)
+    tail = f"{count} {obj_word} in the scene"
+
+    def _near_rest(skip: str) -> str:
+        d, view, xy = nearest
+        bits = []
+        if skip != "dst" and d < 1e9:
+            bits.append(f"{d:.1f}m away")
+        if skip != "cam" and view:
+            bits.append(f"in {view}")
+        if skip != "loc" and xy is not None:
+            bits.append(f"at ({xy[0]:.1f}, {xy[1]:.1f})")
+        return ("; nearest " + " ".join(bits)) if bits else ""
+
+    if re.search(r"\bhow far\b|\bdistance\b", question, re.IGNORECASE):
+        if nearest is not None and nearest[0] < 1e9:
+            return (f"Distance for this question: {nearest[0]:.1f}m; "
+                    f"{tail}{_near_rest('dst')}.")
+        return f"Distance for this question: none; {tail}."
+    if re.search(r"\bwhere is\b|\blocation of\b|\blocated\b", question,
+                 re.IGNORECASE):
+        if nearest is not None and nearest[2] is not None:
+            x, y = nearest[2]
+            return (f"Location for this question: ({x:.1f}, {y:.1f}); "
+                    f"{tail}{_near_rest('loc')}.")
+        return f"Location for this question: unknown; {tail}."
+    if re.search(r"\bwhich camera\b|\bwhich view\b", question,
+                 re.IGNORECASE):
+        if nearest is not None and nearest[1]:
+            return (f"Camera for this question: {nearest[1]}; "
+                    f"{tail}{_near_rest('cam')}.")
+        return f"Camera for this question: none; {tail}."
+    return None
 
 
 def _format_mqa_answer(question: str, target_obj: Optional[str], count: int,

@@ -87,12 +87,21 @@ def canonicalize_for_dfa(schema, text: str) -> str:
     return json.dumps(clamp(spec, obj), separators=(",", ":"))
 
 
-def _curriculum_v2() -> bool:
-    """MSC_CURRICULUM=v2 adds tag-family (camera/distance/location) copy
-    pairs to the synthetic curriculum.  Env-gated OFF so a watchdog
+def _curriculum() -> str:
+    """MSC_CURRICULUM: "" (v1), "v2", or "v3".  Env-gated so a watchdog
     restart of an in-flight run recomputes the same dataset cache key it
-    started with; v2 runs carry a distinct key (see build cache key)."""
-    return os.environ.get("MSC_CURRICULUM", "").lower() == "v2"
+    started with; each version carries a distinct key (see build cache
+    key).  v2 adds tag-family (camera/distance/location) copy pairs;
+    v3 = v2 with the tag families OVERSAMPLED 2x (round-5 probe: after
+    r14's v2 schedule the nearest-payload copy circuit still never
+    formed — 0/9 slot copies on fresh synthetic prompts) and is meant
+    to run under MSC_FACTS=v3 so the slot value is the first value
+    after the fact-line colon (the motif the count circuit formed on)."""
+    return os.environ.get("MSC_CURRICULUM", "").lower()
+
+
+def _curriculum_v2() -> bool:
+    return _curriculum() in ("v2", "v3")
 
 
 def _random_copy_pairs(caption: Dict, scene_i: int,
@@ -179,7 +188,11 @@ def _random_copy_pairs(caption: Dict, scene_i: int,
             # (x, y); these pairs train the copy circuit for all three
             # templates, over present AND absent categories (the
             # "no camera shows"/"unknown" templates must form too).
-            for _ in range(4):
+            # v3 doubles the tag-family draw (8 categories vs 4): random
+            # draws over the 11-class space naturally mix present and
+            # absent categories, so the absent-form templates ("no camera
+            # shows", "unknown", "not visible") train too
+            for _ in range(8 if _curriculum() == "v3" else 4):
                 obj = cats[int(rng.integers(0, len(cats)))]
                 questions.append(
                     f"How far away is the nearest <obj>{obj}</obj>?")
@@ -268,11 +281,14 @@ def build_multitask_dataset(num_scenes: int, holdout: int = 8,
         # dataset-content discriminators must be part of the key: a cached
         # no-hints/v1 dataset must never serve a hints/v2 run (and vice
         # versa)
+        from msc_tpu.serving.analytic import facts_version
+
         hints = "_hints" if LiDARConfig().classify_hints else ""
-        cur = "_cur2" if _curriculum_v2() else ""
+        cur = {"v2": "_cur2", "v3": "_cur3"}.get(_curriculum(), "")
+        facts = "_facts3" if facts_version() == "v3" else ""
         key = (f"ds_{tasks}_{'-'.join(config_names)}_{num_scenes}"
                f"_{holdout}_{int(include_images)}_{image_size}"
-               f"{hints}{cur}.pkl")
+               f"{hints}{cur}{facts}.pkl")
         cache_file = os.path.join(cache_dir, key)
         if os.path.isfile(cache_file):
             with open(cache_file, "rb") as f:
@@ -637,12 +653,15 @@ def main():
             f.write(args.preset + "\n")
         with open(os.path.abspath(args.save) + ".step", "w") as f:
             f.write(f"{step}\n")
-        # prompt-flags sidecar: record whether this checkpoint was
-        # trained on hint-bearing classify prompts so serving always
-        # reconstructs the same prompt format (pipeline.py reads it)
+        # prompt-flags sidecar: record the prompt-format axes this
+        # checkpoint was trained on — classify hints AND fact-line
+        # version — so serving always reconstructs the same prompt
+        # format (pipeline.py reads it)
         from msc_tpu.config import LiDARConfig as _LC
+        from msc_tpu.serving.analytic import facts_version as _fv
         with open(os.path.abspath(args.save) + ".flags", "w") as f:
             f.write(f"classify_hints={int(_LC().classify_hints)}\n")
+            f.write(f"facts={_fv()}\n")
 
     start_step = 0
     if args.resume and args.save and \

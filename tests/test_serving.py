@@ -699,6 +699,77 @@ def test_template_dfa_cam_dst_loc():
     assert mqa_response_format("Describe the scene.") is None
 
 
+def test_template_dfa_absent_object_branches():
+    """Every nearest-payload automaton must also accept the curriculum's
+    absent-object answer form (serving/analytic.py _format_mqa_answer) —
+    without it, a caption lacking the object forces a fabricated value
+    (round-4 advisor finding)."""
+    from msc_tpu.agents.caption import mqa_response_format
+
+    cam = mqa_response_format("Which camera shows the nearest <obj>bus</obj>?")
+    dfa = structured.compile_schema(cam)
+    assert walk(dfa, "The <obj>bus</obj> appears in the <cam>back</cam> camera.")
+    assert walk(dfa, "No camera shows a <obj>bus</obj>.")
+    assert not walk(dfa, "No camera shows a <obj>car</obj>.")
+
+    dst = mqa_response_format("How far away is the nearest <obj>bus</obj>?")
+    dfa = structured.compile_schema(dst)
+    assert walk(dfa, "The nearest <obj>bus</obj> is <dst>7.3m</dst> away.")
+    assert walk(dfa, "There is no <obj>bus</obj> visible to measure a distance to.")
+    # the absent branch must not admit a value slot
+    assert not walk(dfa, "There is no <obj>bus</obj> visible to measure a distance to. 7.3m")
+
+    loc = mqa_response_format("Where is the nearest <obj>bus</obj>?")
+    dfa = structured.compile_schema(loc)
+    assert walk(dfa, "The nearest <obj>bus</obj> is at <loc>(-2.1, 7.0)</loc>.")
+    assert walk(dfa, "The location of the <obj>bus</obj> is unknown.")
+    assert not walk(dfa, "The location of the <obj>car</obj> is unknown.")
+
+
+def test_facts_v3_leads_with_family_value():
+    """v3 fact lines lead distance/location/camera questions with the
+    family's own answer value right after the colon — the positional
+    motif the count copy circuit formed on — and say "none"/"unknown"
+    exactly when the analytic answer takes its absent branch."""
+    from msc_tpu.serving import analytic as ana
+
+    cap = {"objects": [
+        {"category": "adult pedestrian",
+         "position": "front right, 20.8m, at (17.7, -11.0)"},
+        {"category": "adult pedestrian",
+         "position": "back left, 7.3m, at (-2.1, 7.0)"},
+    ]}
+    old = ana.facts_version()
+    ana.set_facts_version("v3")
+    try:
+        if ana.facts_version() != "v3":  # explicit MSC_FACTS in env wins
+            return
+        f = ana.question_facts(
+            "How far away is the nearest <obj>adult pedestrian</obj>?", cap)
+        assert f.startswith("Distance for this question: 7.3m; ")
+        f = ana.question_facts(
+            "Where is the nearest <obj>adult pedestrian</obj>?", cap)
+        assert f.startswith("Location for this question: (-2.1, 7.0); ")
+        f = ana.question_facts(
+            "Which camera shows the nearest <obj>adult pedestrian</obj>?",
+            cap)
+        assert f.startswith("Camera for this question: back left; ")
+        # count/existence families keep the exact v2 format (their copy
+        # circuit is already formed — don't disturb it)
+        f = ana.question_facts(
+            "How many <obj>adult pedestrians</obj> are in the scene?", cap)
+        assert f.startswith("Counts for this question: 2 ")
+        # absent category: lead value mirrors the absent answer branch
+        f = ana.question_facts(
+            "How far away is the nearest <obj>bus</obj>?", cap)
+        assert f.startswith("Distance for this question: none; ")
+        ans = ana.answer_mqa_from_caption(
+            "How far away is the nearest <obj>bus</obj>?", cap)
+        assert "no <obj>bus</obj> visible" in ans
+    finally:
+        ana.set_facts_version(old)
+
+
 def test_template_constrained_generation_untrained():
     """An untrained tiny VLM under a template automaton must emit a
     byte-exact template instance — only the count slot varies."""
