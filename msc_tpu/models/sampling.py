@@ -31,6 +31,36 @@ class FSM(NamedTuple):
     dist: jax.Array
 
 
+def masked_logits(logits: jax.Array, fsm: Optional[FSM],
+                  fsm_state: Optional[jax.Array], eos_id: int,
+                  length_bias: float = 0.0,
+                  remaining: Optional[jax.Array] = None) -> jax.Array:
+    """The DFA/length-prior logit masking `sample_token` applies, factored
+    out so speculative verification (models/block_decode.py) scores draft
+    tokens under EXACTLY the serving distribution.
+
+    ``remaining`` may be a scalar or a per-row (B,) vector (block decoding
+    consumes the budget at per-row rates)."""
+    if fsm is None:
+        return logits
+    row = fsm.trans[fsm_state]                     # (B, V)
+    allowed = row >= 0
+    allowed = allowed.at[:, eos_id].set(
+        allowed[:, eos_id] | fsm.accept[fsm_state])
+    if length_bias > 0.0 or remaining is not None:
+        nxt_dist = fsm.dist[jnp.maximum(row, 0)].astype(jnp.float32)
+        # EOS from an accept state is distance 0
+        nxt_dist = nxt_dist.at[:, eos_id].set(0.0)
+        if length_bias > 0.0:
+            logits = logits - length_bias * nxt_dist
+        if remaining is not None:
+            rem = jnp.asarray(remaining, jnp.float32)
+            if rem.ndim == 1:
+                rem = rem[:, None]
+            allowed = allowed & (nxt_dist <= rem)
+    return jnp.where(allowed, logits, -jnp.inf)
+
+
 def sample_token(logits: jax.Array, temperature, rng: jax.Array,
                  fsm: Optional[FSM], fsm_state: Optional[jax.Array],
                  eos_id: int, length_bias: float = 0.0,
@@ -61,21 +91,8 @@ def sample_token(logits: jax.Array, temperature, rng: jax.Array,
 
     Returns (tokens, next_fsm_state).
     """
-    if fsm is not None:
-        row = fsm.trans[fsm_state]                     # (B, V)
-        allowed = row >= 0
-        allowed = allowed.at[:, eos_id].set(
-            allowed[:, eos_id] | fsm.accept[fsm_state])
-        if length_bias > 0.0 or remaining is not None:
-            nxt_dist = fsm.dist[jnp.maximum(row, 0)].astype(jnp.float32)
-            # EOS from an accept state is distance 0
-            nxt_dist = nxt_dist.at[:, eos_id].set(0.0)
-            if length_bias > 0.0:
-                logits = logits - length_bias * nxt_dist
-            if remaining is not None:
-                allowed = allowed & (nxt_dist
-                                     <= remaining.astype(jnp.float32))
-        logits = jnp.where(allowed, logits, -jnp.inf)
+    logits = masked_logits(logits, fsm, fsm_state, eos_id,
+                           length_bias=length_bias, remaining=remaining)
 
     temps = jnp.asarray(temperature, jnp.float32)
     if temps.ndim == 0:

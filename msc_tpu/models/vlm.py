@@ -80,6 +80,14 @@ class VLM:
             static_argnames=("t_max", "max_new_tokens", "use_fsm",
                              "length_bias"),
         )
+        from msc_tpu.models.block_decode import generate_contig_block_impl
+
+        self._generate_contig_block_fn = jax.jit(
+            functools.partial(generate_contig_block_impl, cfg,
+                              seq_mesh=seq_mesh),
+            static_argnames=("t_max", "max_new_tokens", "use_fsm",
+                             "length_bias", "W"),
+        )
         self._generate_prefix_fn = jax.jit(
             functools.partial(_generate_prefix_impl, cfg,
                               use_pallas=self.use_pallas_paged),
@@ -147,6 +155,37 @@ class VLM:
             t_max=t_max, max_new_tokens=max_new_tokens,
             use_fsm=use_fsm, length_bias=length_bias)
 
+
+    def generate_contig_block(self, ids: jax.Array,
+                              img_embeds: Optional[jax.Array],
+                              rng: jax.Array, t_max: int,
+                              max_new_tokens: int = 128, temperature=0.0,
+                              use_fsm: bool = False,
+                              fsm_trans=None, fsm_accept=None,
+                              fsm_dist=None, fsm_start=None,
+                              forced_tok=None, forced_len=None,
+                              lut=None, row_active=None,
+                              length_bias: float = 0.0,
+                              W: int = 7) -> GenerateResult:
+        """Block-speculative contiguous generate (models/block_decode.py):
+        FSM forced-run fast-forward + prompt-lookup drafts, verified in
+        W+1-wide block steps.  Token-identical to ``generate_contig`` for
+        greedy free-text rows; text-identical (canonical segmentation) on
+        DFA-forced spans.
+
+        t_max must include bubble slack beyond T + max_new_tokens (the
+        engine passes ~max_new extra; the loop guard stops at the wall).
+        """
+        temps = _as_temps(temperature, ids.shape[0])
+        if row_active is None:
+            row_active = jnp.ones((ids.shape[0],), bool)
+        out, lengths = self._generate_contig_block_fn(
+            self.params, ids, img_embeds, rng, temps,
+            fsm_trans, fsm_accept, fsm_dist, fsm_start,
+            forced_tok, forced_len, lut, row_active,
+            t_max=t_max, max_new_tokens=max_new_tokens, use_fsm=use_fsm,
+            length_bias=length_bias, W=W)
+        return GenerateResult(out, lengths)
 
     def prefill_pages(self, ids: jax.Array, cache: dec.KVCache
                       ) -> dec.KVCache:

@@ -423,6 +423,15 @@ def _format_mqa_answer(question: str, target_obj: Optional[str], count: int,
         return f"No camera shows a <obj>{obj_word}</obj>."
 
     obj_word = target_obj if target_obj else "objects"
+    # count/existence answers echo the PLURAL form: the MQA ground truth
+    # (data/mqa.py:113-150) and the template automaton
+    # (agents/caption.py mqa_response_format) both pluralize the echo
+    # even when the question's tag is singular ("Is there a <obj>car
+    # </obj>" -> "<obj>cars</obj>").  The scorer normalizes plurals, so
+    # scores are unchanged — but training targets must be byte-exact
+    # template-admissible (canonicalize_for_dfa validates this).
+    if not obj_word.endswith("s"):
+        obj_word += "s"
     target = f"<target><cnt>{count}</cnt> <obj>{obj_word}</obj></target>"
     if re.search(r"\bis there\b|\bare there any\b", question, re.IGNORECASE):
         yn = "yes" if count > 0 else "no"

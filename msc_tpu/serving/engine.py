@@ -89,6 +89,16 @@ class InferenceEngine:
         self.kv_layout = kv_layout
         self.json_length_bias = json_length_bias
         self.mesh = mesh
+        import os as _os
+
+        # block-speculative decoding (models/block_decode.py): FSM
+        # forced-run fast-forward + prompt-lookup drafts cut sequential
+        # decode steps ~1.7x on schema'd outputs / up to ~4x on the
+        # copy-heavy prose tasks.  Contiguous path only; supersedes
+        # prefix caching when on (everything routes contiguous).
+        self.block_decode = _os.environ.get("MSC_BLOCK_DECODE", "0") == "1"
+        self.spec_W = int(_os.environ.get("MSC_SPEC_W", "7"))
+        self._forced_cache: Dict[int, tuple] = {}
         from msc_tpu.models.bpe import make_tokenizer
 
         self.tokenizer = make_tokenizer(cfg)
@@ -202,6 +212,14 @@ class InferenceEngine:
         _t0 = _time.perf_counter()
         tok_lists = [self._tokenize(r) for r in requests]
         host_images = self._prep_request_images(requests)
+        host_luts = None
+        if self.block_decode:
+            # prompt n-gram index per row (speculative draft source) —
+            # pure host work, built OUTSIDE the device lock
+            from msc_tpu.models.block_decode import build_prompt_lut
+
+            host_luts = [build_prompt_lut(t, self.spec_W)
+                         for t in tok_lists]
         with DEVICE_LOCK:
             # timestamp taken INSIDE the lock so stats['lock_s'] measures
             # hold time only — taking it before the `with` would count
@@ -210,7 +228,8 @@ class InferenceEngine:
             # ceiling the bench prints (round-4 advisor finding)
             _t_lock = _time.perf_counter()
             result, meta = self._dispatch_locked(requests, schema,
-                                                 tok_lists, host_images)
+                                                 tok_lists, host_images,
+                                                 host_luts)
             B_real, B, T, max_new, had_prefix, img_embeds = meta
             # ONE synchronous tunnel round trip for both outputs (each
             # sync fetch costs ~27 ms over the tunnel; a tuple
@@ -248,7 +267,8 @@ class InferenceEngine:
         return [self.tokenizer.decode(out_tokens[i, : lengths[i]])
                 for i in range(B_real)]
 
-    def _dispatch_locked(self, requests, schema, tok_lists, host_images):
+    def _dispatch_locked(self, requests, schema, tok_lists, host_images,
+                         host_luts=None):
         """Device-side half of generate_batch (called under DEVICE_LOCK).
         Returns (device result, meta) without forcing a host transfer."""
         T = self._bucket(max(len(t) for t in tok_lists))
@@ -310,6 +330,32 @@ class InferenceEngine:
             result = self._generate_with_prefix(
                 prefix, tok_lists, B, max_new, sub, temps,
                 use_fsm, fsm_trans, fsm_accept, fsm_dist, bias, fsm_start)
+        elif self.kv_layout == "contiguous" and self.block_decode:
+            ids = self.tokenizer.pad_batch(tok_lists, pad_to=T, left=True)
+            ids = ids[:, -T:]
+            ft = fl = None
+            if use_fsm:
+                ft, fl = self._get_forced(schema)
+            import numpy as _np
+
+            W = self.spec_W
+            empty = _np.full((1, host_luts[0].shape[0], 3 + W), PAD_ID,
+                             _np.int32)
+            empty[:, :, :2] = -1
+            empty[:, :, 2] = 0
+            lut = jnp.asarray(_np.concatenate(
+                [_np.stack(host_luts)] + [empty] * (B - B_real))
+                if B > B_real else _np.stack(host_luts))
+            row_active = jnp.asarray([True] * B_real + [False] * (B - B_real))
+            # t_max slack: rejected-draft bubbles consume cache slots
+            # beyond T + max_new; the loop guard stops at the wall
+            result = self.vlm.generate_contig_block(
+                jnp.asarray(ids), img_embeds, sub, t_max=T + 2 * max_new,
+                max_new_tokens=max_new, temperature=temps,
+                use_fsm=use_fsm, fsm_trans=fsm_trans, fsm_accept=fsm_accept,
+                fsm_dist=fsm_dist, fsm_start=fsm_start,
+                forced_tok=ft, forced_len=fl, lut=lut,
+                row_active=row_active, length_bias=bias, W=W)
         elif self.kv_layout == "contiguous":
             ids = self.tokenizer.pad_batch(tok_lists, pad_to=T, left=True)
             ids = ids[:, -T:]
@@ -383,6 +429,10 @@ class InferenceEngine:
         from msc_tpu.models.tokenizer import IMG_ID
 
         if not self.prefix_caching or img_embeds is not None:
+            return None
+        if self.block_decode:
+            # block-speculative decoding routes everything contiguous;
+            # its step savings dominate the prefix cache's prefill reuse
             return None
         pg = self.cfg.page_size
         lcp = tok_lists[0]
@@ -489,6 +539,28 @@ class InferenceEngine:
         finally:
             for pl in own:
                 self.allocator.release(pl)
+
+    def _get_forced(self, schema):
+        """Forced-run draft tables for block decoding, aligned with the
+        SHIFTED + STATE-BUCKETED numbering `_get_fsm` serves (row 0 =
+        permissive, pad rows forced_len 0).  Cached per schema."""
+        key = id(schema)
+        hit = self._forced_cache.get(key)
+        if hit is None:
+            from msc_tpu.models.block_decode import build_forced_tables
+
+            dfa = structured.compile_schema_cached(schema, 256)
+            ft, fl, _fs = build_forced_tables(
+                np.asarray(dfa.trans), np.asarray(dfa.accept),
+                self.tokenizer, self.spec_W)
+            S_fsm = int(self._get_fsm(schema)[0].shape[0])
+            ft2 = np.full((S_fsm, self.spec_W), PAD_ID, np.int32)
+            fl2 = np.zeros((S_fsm,), np.int32)
+            ft2[1: 1 + ft.shape[0]] = ft
+            fl2[1: 1 + fl.shape[0]] = fl
+            hit = (jnp.asarray(ft2), jnp.asarray(fl2))
+            self._forced_cache[key] = hit
+        return hit
 
     def _get_fsm(self, schema):
         """Schema DFA as device-resident arrays, cached (the scene-graph

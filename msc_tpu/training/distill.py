@@ -41,6 +41,28 @@ def canonicalize_for_dfa(schema, text: str) -> str:
     from msc_tpu.serving.structured import pydantic_to_spec
 
     spec = pydantic_to_spec(schema) if isinstance(schema, type) else schema
+    if spec.get("type") in ("template", "oneof"):
+        # raw-text automaton (e.g. the MQA answer templates,
+        # agents/caption.py mqa_response_format): the analytic teacher's
+        # answer IS the canonical form by construction — the template
+        # parts mirror _format_mqa_answer branch for branch.  Verify it
+        # walks the DFA (a train/serve format drift must fail LOUDLY at
+        # dataset-build time, not silently train unreachable targets).
+        from msc_tpu.serving.structured import compile_schema_cached
+
+        dfa = compile_schema_cached(spec, 256)
+        s = 0
+        for b in text.encode():
+            s = int(dfa.trans[s, b])
+            if s < 0:
+                raise ValueError(
+                    f"template target not DFA-admissible at byte {b!r}: "
+                    f"{text[:120]!r}")
+        if not dfa.accept[s]:
+            raise ValueError(
+                f"template target stops outside an accept state: "
+                f"{text[:120]!r}")
+        return text
     obj = json.loads(text)
 
     def clamp(node, val):
