@@ -39,6 +39,34 @@ def make_mesh(data: int = 1, model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_multihost_mesh(model: int = 1) -> Mesh:
+    """(data, model) mesh for a MULTI-PROCESS runtime, with the axis
+    placement SURVEY.md §2.3 item 7 mandates:
+
+    - ``data`` spans PROCESSES (hosts) — its collectives (eval-result
+      all-gathers, gradient reductions at scene-batch granularity) ride
+      DCN, which tolerates the lower bandwidth;
+    - ``model`` (TP) stays WITHIN each process's local devices — its
+      per-layer all-reduces need ICI bandwidth and must never cross a
+      host boundary.
+
+    Requires `utils.jax_setup.init_distributed()` to have run (or a
+    single process, where it degenerates to make_mesh).  ``model`` must
+    divide the local device count; ``data`` = total/model with all of a
+    process's devices in the same model group.
+    """
+    devs = jax.devices()
+    n_local = len(jax.local_devices())
+    assert model <= n_local and n_local % model == 0, \
+        f"model axis ({model}) must fit within one host ({n_local} local)"
+    # order devices so process id is the slowest-varying dimension: rows
+    # of the (data, model) grid then never straddle a process boundary
+    devs = sorted(devs, key=lambda d: (d.process_index, d.id))
+    data = len(devs) // model
+    arr = np.asarray(devs).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
 def _dec_layer_specs(layer: Dict, has_expert_axis: bool) -> Dict[str, P]:
     """Tensor-parallel partition specs for one decoder layer: attention
     heads and MLP hidden shard over ``model``; residual-dim axes stay

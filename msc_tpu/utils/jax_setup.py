@@ -11,6 +11,40 @@ _DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host bootstrap: `jax.distributed.initialize` wiring
+    (SURVEY.md §2.3 item 7 / §5 "distributed communication backend").
+
+    Controlled by env (or explicit args): MSC_COORDINATOR=host:port,
+    MSC_NUM_PROCESSES, MSC_PROCESS_ID.  Returns True when a multi-process
+    runtime was initialized.  MUST run before any JAX backend touch —
+    `enable_compilation_cache` calls it first for exactly that reason.
+
+    Axis placement contract (see parallel/mesh.py:make_multihost_mesh):
+    the DATA axis spans processes (DCN — scene-level batch parallelism
+    tolerates slow links); TP/SP/PP axes stay within a process's local
+    devices (ICI — per-step collectives need ICI bandwidth).
+
+    No reference counterpart (the reference is a single Python process
+    speaking HTTPS, `src/agents/base_agent.py:14-58`); mandated by the
+    rebuild blueprint.
+    """
+    coordinator = coordinator or os.environ.get("MSC_COORDINATOR")
+    if not coordinator:
+        return False
+    import jax
+
+    num = int(num_processes if num_processes is not None
+              else os.environ.get("MSC_NUM_PROCESSES", "1"))
+    pid = int(process_id if process_id is not None
+              else os.environ.get("MSC_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num, process_id=pid)
+    return True
+
+
 def enable_compilation_cache(path: str | None = None):
     """Turn on JAX's persistent compilation cache (first compile of the
     kernel suite costs tens of seconds; the cache makes every later
@@ -23,6 +57,8 @@ def enable_compilation_cache(path: str | None = None):
     want = os.environ.get("MSC_PLATFORM")
     if want:
         jax.config.update("jax_platforms", want)
+    # multi-host bootstrap must precede backend initialization
+    init_distributed()
 
     cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                        _DEFAULT_CACHE)

@@ -299,3 +299,24 @@ def test_seq_parallel_engine_serving():
                          seq_mesh=mesh)
     out1 = e1.generate_batch([req])[0]
     assert out0 == out1
+
+
+def test_multihost_mesh_axis_placement():
+    """make_multihost_mesh: model (TP/ICI) axis must sit within one
+    process's devices, data (DCN) axis across them.  Single-process here
+    (all virtual devices share process_index 0) — the 2-process variant
+    runs in __graft_entry__.dryrun_multichip's multiproc child."""
+    from msc_tpu.parallel.mesh import make_multihost_mesh
+
+    mesh = make_multihost_mesh(model=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (len(jax.devices()) // 2, 2)
+    for row in mesh.devices:
+        assert len({d.process_index for d in row}) == 1
+
+
+def test_init_distributed_noop_without_env(monkeypatch):
+    from msc_tpu.utils.jax_setup import init_distributed
+
+    monkeypatch.delenv("MSC_COORDINATOR", raising=False)
+    assert init_distributed() is False
