@@ -280,6 +280,11 @@ def main():
               f"MFU={flops/elapsed/peak*100:.3f}% of v5e bf16 peak "
               f"(latency-bound serving: ~{1000*elapsed/max(1,st['calls']):.0f}"
               f" ms/call incl. host+tunnel)", file=sys.stderr)
+        if st.get("block_steps"):
+            print(f"engine block decode: {st['block_steps']} sequential "
+                  f"steps for {st['decode_tokens']} tokens "
+                  f"({st['decode_tokens']/st['block_steps']:.2f} tok/step "
+                  f"speculation efficiency)", file=sys.stderr)
         if st.get("wall_s"):
             # the under-lock fraction is the pipelining ceiling: with
             # device work serialized, N overlapped scenes approach

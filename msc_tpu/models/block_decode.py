@@ -284,14 +284,14 @@ def generate_contig_block_impl(
 
     def cond(state):
         (logits, cache, out, n_out, done, fsm_state, real_pos, write_pos,
-         ban, prev_tok, rng) = state
+         ban, prev_tok, rng, n_iter) = state
         room = write_pos + Wb <= t_max
         active = ~done & (n_out < max_new_tokens)
         return jnp.any(active) & room
 
     def body(state):
         (logits, cache, out, n_out, done, fsm_state, real_pos, write_pos,
-         ban, prev_tok, rng) = state
+         ban, prev_tok, rng, n_iter) = state
         rng, s_tok, s_acc = jax.random.split(rng, 3)
 
         # ---- 1. sample the branch token (with residual ban) ----
@@ -432,11 +432,14 @@ def generate_contig_block_impl(
         prev_tok = jnp.where(now_done | done, prev_tok, last_committed)
 
         return (nxt_logits, cache, out, n_out, now_done, fsm_state,
-                real_pos, write_pos, ban_next, prev_tok, rng)
+                real_pos, write_pos, ban_next, prev_tok, rng, n_iter + 1)
 
     state = (logits, cache, out, n_out, done, fsm_state, real_pos,
-             write_pos, ban, prev_tok, rng)
+             write_pos, ban, prev_tok, rng, jnp.int32(0))
     state = jax.lax.while_loop(cond, body, state)
     out = state[2]
     lengths = (out != PAD_ID).sum(axis=1).astype(jnp.int32)
-    return out, lengths
+    # speculation-efficiency telemetry: tokens-emitted / n_iter is the
+    # per-call accepted-run mean (sequential decoding would be ~1.0,
+    # counting the max row's EOS walk); the engine aggregates it
+    return out, lengths, state[11]

@@ -179,12 +179,13 @@ class VLM:
         temps = _as_temps(temperature, ids.shape[0])
         if row_active is None:
             row_active = jnp.ones((ids.shape[0],), bool)
-        out, lengths = self._generate_contig_block_fn(
+        out, lengths, n_steps = self._generate_contig_block_fn(
             self.params, ids, img_embeds, rng, temps,
             fsm_trans, fsm_accept, fsm_dist, fsm_start,
             forced_tok, forced_len, lut, row_active,
             t_max=t_max, max_new_tokens=max_new_tokens, use_fsm=use_fsm,
             length_bias=length_bias, W=W)
+        self.last_block_steps = n_steps  # device scalar; engine fetches
         return GenerateResult(out, lengths)
 
     def prefill_pages(self, ids: jax.Array, cache: dec.KVCache

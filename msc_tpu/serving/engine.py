@@ -234,8 +234,13 @@ class InferenceEngine:
             # ONE synchronous tunnel round trip for both outputs (each
             # sync fetch costs ~27 ms over the tunnel; a tuple
             # device_get is one)
-            out_tokens, lengths = jax.device_get(
-                (result.tokens, result.lengths))
+            blk_steps = getattr(self.vlm, "last_block_steps", None)
+            if blk_steps is not None:
+                out_tokens, lengths, blk_steps = jax.device_get(
+                    (result.tokens, result.lengths, blk_steps))
+            else:
+                out_tokens, lengths = jax.device_get(
+                    (result.tokens, result.lengths))
         _t_end = _time.perf_counter()
         with self._stats_lock:
             # lock_s vs wall_s: the under-DEVICE_LOCK fraction bounds what
@@ -254,6 +259,11 @@ class InferenceEngine:
                 self.stats["image_tokens"] += (
                     sum(len(r.images) for r in requests)
                     * self.cfg.tokens_per_image)
+            if blk_steps is not None:
+                # speculation efficiency: decode_tokens / block_steps =
+                # mean accepted tokens per sequential device step
+                self.stats["block_steps"] = (
+                    self.stats.get("block_steps", 0) + int(blk_steps))
         if _DEBUG:
             import sys as _sys
             import time as _time
@@ -271,6 +281,7 @@ class InferenceEngine:
                          host_luts=None):
         """Device-side half of generate_batch (called under DEVICE_LOCK).
         Returns (device result, meta) without forcing a host transfer."""
+        self.vlm.last_block_steps = None  # set by the block-decode path
         T = self._bucket(max(len(t) for t in tok_lists))
         T = -(-T // self.cfg.page_size) * self.cfg.page_size
         # bucket the batch dimension too (continuous batching coalesces
