@@ -203,12 +203,24 @@ def decode_block_contig(params: Dict, cfg: VLMConfig, blk: jax.Array,
     # the block's own proposed entries, causally within the block
     valid_blk = jax.lax.dynamic_update_slice(
         cache.valid, proposed, (0, write_pos))                # (B, Tmax)
-    slot = jnp.arange(Tmax)[None, None, :]                    # (1,1,Tmax)
-    qidx = jnp.arange(Wb)[None, :, None]                      # (1,Wb,1)
-    in_block = slot - write_pos                               # offset
-    mask = valid_blk[:, None, :] & ((in_block < 0) | (in_block <= qidx))
 
     KV, G, hd = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads, cfg.head_dim
+    # Pallas flash path (ops/block_attention.py): the XLA formulation
+    # below materializes the (B, KV, G, Wb, Tmax) fp32 score tensor —
+    # ~Wb x the single-step score traffic against a step already at the
+    # HBM roofline (measured ~4x/step, RESULTS.md round-5 bench A/B).
+    # Opt out with MSC_FLASH_BLOCK=0; CPU keeps the XLA path (tests).
+    import os as _os
+
+    use_flash = (jax.default_backend() == "tpu"
+                 and _os.environ.get("MSC_FLASH_BLOCK", "1") == "1"
+                 and Tmax % 128 == 0)
+    if not use_flash:
+        slot = jnp.arange(Tmax)[None, None, :]                # (1,1,Tmax)
+        qidx = jnp.arange(Wb)[None, :, None]                  # (1,Wb,1)
+        in_block = slot - write_pos                           # offset
+        mask = (valid_blk[:, None, :]
+                & ((in_block < 0) | (in_block <= qidx)))
     k_cache, v_cache = cache.k, cache.v
 
     for li, layer in enumerate(params["layers"]):
@@ -224,16 +236,23 @@ def decode_block_contig(params: Dict, cfg: VLMConfig, blk: jax.Array,
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v[None].astype(v_cache.dtype), (li, 0, write_pos, 0, 0))
 
-        ks = k_cache[li].astype(dtype)                        # (B,Tmax,KV,hd)
-        vs = v_cache[li].astype(dtype)
-        qg = q.reshape(B, Wb, KV, G, hd)
-        att = jnp.einsum("btkgd,bskd->bkgts", qg, ks,
-                         preferred_element_type=jnp.float32) * hd ** -0.5
-        att = jnp.where(mask[:, None, None], att, -1e30)
-        att = jax.nn.softmax(att, axis=-1)
-        o = jnp.einsum("bkgts,bskd->btkgd", att.astype(dtype), vs,
-                       preferred_element_type=jnp.float32)
-        o = o.reshape(B, Wb, cfg.n_heads * hd).astype(dtype)
+        if use_flash:
+            from msc_tpu.ops.block_attention import flash_block_attention
+
+            o = flash_block_attention(q, k_cache[li], v_cache[li],
+                                      valid_blk, write_pos)
+            o = o.reshape(B, Wb, cfg.n_heads * hd).astype(dtype)
+        else:
+            ks = k_cache[li].astype(dtype)                    # (B,Tmax,KV,hd)
+            vs = v_cache[li].astype(dtype)
+            qg = q.reshape(B, Wb, KV, G, hd)
+            att = jnp.einsum("btkgd,bskd->bkgts", qg, ks,
+                             preferred_element_type=jnp.float32) * hd ** -0.5
+            att = jnp.where(mask[:, None, None], att, -1e30)
+            att = jax.nn.softmax(att, axis=-1)
+            o = jnp.einsum("bkgts,bskd->btkgd", att.astype(dtype), vs,
+                           preferred_element_type=jnp.float32)
+            o = o.reshape(B, Wb, cfg.n_heads * hd).astype(dtype)
         x = x + jnp.dot(o, layer["wo"].astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
         x = x + dec._mlp(layer, dec._rmsnorm(x, layer["ln2"]), dtype,

@@ -129,3 +129,58 @@ def test_chunked_training_attention_matches_full():
     g_full = jax.grad(lambda q: (_attention_full(q, k, v, mask, jnp.float32) ** 2).sum())(q)
     g_chunk = jax.grad(lambda q: (_attention_chunked(q, k, v, mask, jnp.float32, 128) ** 2).sum())(q)
     assert jnp.abs(g_full - g_chunk).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash block-decode attention (round 5)
+# ---------------------------------------------------------------------------
+
+def _block_reference(q, ks, vs, valid, write_pos):
+    """The XLA einsum formulation from models/block_decode.py
+    decode_block_contig — the numerics contract the kernel must match."""
+    B, Wb, H, hd = q.shape
+    KV, Tmax = ks.shape[2], ks.shape[1]
+    G = H // KV
+    slot = jnp.arange(Tmax)[None, None, :]
+    qidx = jnp.arange(Wb)[None, :, None]
+    in_block = slot - write_pos
+    mask = valid[:, None, :] & ((in_block < 0) | (in_block <= qidx))
+    qg = q.reshape(B, Wb, KV, G, hd)
+    att = jnp.einsum("btkgd,bskd->bkgts", qg, ks,
+                     preferred_element_type=jnp.float32) * hd ** -0.5
+    att = jnp.where(mask[:, None, None], att, -1e30)
+    att = jax.nn.softmax(att, axis=-1)
+    o = jnp.einsum("bkgts,bskd->btkgd", att.astype(q.dtype), vs,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(B, Wb, H, hd)
+
+
+@pytest.mark.parametrize("G", [1, 4])
+def test_flash_block_matches_reference(G):
+    """Kernel vs the XLA block-decode attention: left-padded prompts,
+    bubbles (invalid committed slots), per-row proposal lengths, and the
+    intra-block causal mask all agree."""
+    from msc_tpu.ops.block_attention import flash_block_attention
+
+    rng = np.random.default_rng(7)
+    B, Wb, KV, hd, Tmax = 3, 8, 2, 64, 512
+    H = KV * G
+    write_pos = 300
+    q = jnp.asarray(rng.normal(size=(B, Wb, H, hd)), jnp.float32)
+    ks = jnp.asarray(rng.normal(size=(B, Tmax, KV, hd)), jnp.float32)
+    vs = jnp.asarray(rng.normal(size=(B, Tmax, KV, hd)), jnp.float32)
+    valid = np.zeros((B, Tmax), bool)
+    valid[0, 37:write_pos] = True      # left-padded prompt
+    valid[1, :write_pos] = True
+    valid[2, 5:write_pos] = True
+    valid[1, 120:140] = False          # bubbles from rejected drafts
+    # block proposals: per-row lengths (row 2 "done" -> none)
+    valid[0, write_pos:write_pos + 8] = True
+    valid[1, write_pos:write_pos + 3] = True
+    valid = jnp.asarray(valid)
+
+    got = flash_block_attention(q, ks, vs, valid, jnp.int32(write_pos),
+                                interpret=INTERPRET)
+    want = _block_reference(q, ks, vs, valid, jnp.int32(write_pos))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
